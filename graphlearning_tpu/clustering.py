@@ -1,0 +1,232 @@
+"""Clustering module — TPU-native re-expression of reference
+``graphlearning/clustering.py`` (spectral, Fokker-Planck, INCRES, withinss/
+RP1D, Hungarian accuracy, purity).
+
+Spectral embeddings come from the device LOBPCG eigensolver
+(:mod:`graphlearning_tpu.solvers.eig`); diffusion iterations (INCRES grow
+steps) are device SpMMs inside ``lax.while_loop``; Fokker-Planck's dense
+matrix exponential runs as ``jax.scipy.linalg.expm`` on device.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphlearning_tpu import config
+from graphlearning_tpu.core import graphclass as _graphmod
+from graphlearning_tpu.ops import graphops as _ops
+
+
+class clustering:
+    """Abstract base (reference ``clustering.py:19-110``)."""
+
+    def __init__(self, W, num_clusters):
+        if isinstance(W, _graphmod.graph):
+            self.graph = W
+        else:
+            self.graph = _graphmod.graph(W)
+        self.cluster_labels = None
+        self.num_clusters = num_clusters
+        self.fitted = False
+
+    def predict(self):
+        if not self.fitted:
+            sys.exit("Model has not been fitted yet.")
+        return self.cluster_labels
+
+    def fit(self, all_labels=None):
+        pred = self._fit(all_labels=all_labels)
+        self.fitted = True
+        self.cluster_labels = np.asarray(pred)
+        return self.cluster_labels
+
+    def fit_predict(self, all_labels=None):
+        self.fit(all_labels=all_labels)
+        return self.predict()
+
+    def _fit(self, all_labels=None):
+        raise NotImplementedError("Must override _fit")
+
+
+class spectral(clustering):
+    """Spectral clustering: 'combinatorial', 'ShiMalik' (randomwalk), or
+    'NgJordanWeiss' (normalized + row normalization) embeddings + KMeans
+    (reference ``clustering.py:113-198``)."""
+
+    def __init__(self, W, num_clusters, method="NgJordanWeiss", extra_dim=0):
+        super().__init__(W, num_clusters)
+        self.method = method
+        self.extra_dim = extra_dim
+
+    def _fit(self, all_labels=None):
+        import sklearn.cluster as cluster
+
+        k = self.num_clusters + self.extra_dim
+        if self.method == "combinatorial":
+            vals, vec = self.graph.eigen_decomp(k=k)
+        elif self.method == "ShiMalik":
+            vals, vec = self.graph.eigen_decomp(normalization="randomwalk", k=k)
+        elif self.method == "NgJordanWeiss":
+            vals, vec = self.graph.eigen_decomp(normalization="normalized", k=k)
+            norms = np.sqrt(np.sum(vec * vec, axis=1))
+            vec = vec / np.maximum(norms[:, None], 1e-30)
+        else:
+            sys.exit("Invalid spectral clustering method " + self.method)
+        km = cluster.KMeans(n_clusters=self.num_clusters, n_init=10).fit(vec)
+        return km.labels_
+
+
+class fokker_planck(clustering):
+    """Fokker-Planck clustering (Craig-Trillos-Slepčev; reference
+    ``clustering.py:200-280``): interpolate between Coifman-Lafon diffusion
+    and the mean-shift generator, run ``expm(Qt)`` (device dense expm),
+    KMeans the rows."""
+
+    def __init__(self, W, num_clusters, beta=0.5, t=1, rho=None):
+        super().__init__(W, num_clusters)
+        self.beta = beta
+        self.t = t
+        self.rho = np.ones(self.graph.num_nodes) if rho is None else np.asarray(rho)
+
+    def _fit(self, all_labels=None):
+        import sklearn.cluster as cluster
+        import scipy.sparse as sp
+
+        G = self.graph
+        rhoinv = 1.0 / self.rho
+
+        Q1 = -G.laplacian(normalization="coifmanlafon")
+        Qms = G.gradient(rhoinv, weighted=True).T.tocsr()
+        Qms.data[Qms.data < 0] = 0
+        Qms.eliminate_zeros()
+        Qms = Qms - sp.spdiags(np.asarray(Qms @ np.ones(G.num_nodes)), 0,
+                               G.num_nodes, G.num_nodes)
+        Q = self.beta * Qms + (1 - self.beta) * Q1
+        Qd = jnp.asarray(Q.toarray(), dtype=config.float_dtype())
+        expQt = np.asarray(jax.scipy.linalg.expm(Qd * self.t))
+        km = cluster.KMeans(n_clusters=self.num_clusters, n_init=10).fit(expQt)
+        return km.labels_
+
+
+class incres(clustering):
+    """INCRES incremental reseeding (Bresson et al.; reference
+    ``clustering.py:282-371``): plant random seeds per cluster, grow by
+    random-walk diffusion (device SpMM in a ``lax.while_loop``), harvest
+    by argmax, increment seed count."""
+
+    def __init__(self, W, num_clusters, speed=5, T=200, seed=None):
+        super().__init__(W, num_clusters)
+        self.speed = speed
+        self.T = T
+        self.seed = seed
+
+    def _fit(self, all_labels=None):
+        G = self.graph
+        n, k = G.num_nodes, self.num_clusters
+        g = G.sparse
+        deg = _ops.degree_vector(g)
+        rs = np.random.RandomState(self.seed)
+
+        Dm = max(int(self.speed * 1e-4 * n / k), 1)
+        u = rs.randint(0, k, size=n)
+        m = 1
+
+        @jax.jit
+        def grow(F):
+            # F ← P F = W D^-1 F until every node is reached
+            def cond(F):
+                return jnp.min(F) == 0
+
+            def body(F):
+                return _ops.spmm(g, F / deg[:, None])
+
+            return jax.lax.while_loop(cond, body, F)
+
+        for i in range(self.T):
+            F = np.zeros((n, k))
+            for r in range(k):
+                ind = np.where(u == r)[0]
+                if len(ind) == 0:
+                    ind = np.arange(n)
+                F[rs.choice(ind, m), r] = 1
+            F = grow(jnp.asarray(F, dtype=config.float_dtype()))
+            u = np.asarray(jnp.argmax(F, axis=1))
+            m = m + Dm
+            if all_labels is not None:
+                acc = clustering_accuracy(u, all_labels)
+                print("Iteration %d: Accuracy = %.2f%%, #seeds = %d" % (i, acc, m))
+        return u
+
+
+def withinss(x):
+    """Exact 1-D 2-means via sorted prefix scan (reference
+    ``clustering.py:373-430``).  Returns (withinss value, threshold)."""
+    x = np.sort(np.asarray(x, dtype=float))
+    n = x.shape[0]
+    sigma = np.std(x)
+    # prefix means: v[i] = (i+1) m1^2 + (n-i-1) m2^2 with split after x[i]
+    csum = np.cumsum(x)
+    total = csum[-1]
+    i = np.arange(1, n)
+    m1 = csum[:-1] / i
+    m2 = (total - csum[:-1]) / (n - i)
+    v = i * m1**2 + (n - i) * m2**2
+    ind = np.argmax(v)
+    m = x[ind]
+    w = (np.sum(x**2) - v[ind]) / (n * sigma**2)
+    return w, m
+
+
+def RP1D(X, T=100, seed=None):
+    """Random-projection 1-D clustering (Han-Boutin; reference
+    ``clustering.py:432-468``)."""
+    X = np.asarray(X)
+    n, d = X.shape
+    rs = np.random.RandomState(seed)
+    v = rs.rand(T, d)
+    # all projections at once on device (MXU matmul), then host scan
+    P = np.asarray(jnp.asarray(X, dtype=config.float_dtype()) @ jnp.asarray(v.T, dtype=config.float_dtype()))
+    wmin, imin, mbest = np.inf, 0, 0.0
+    for i in range(T):
+        w, m = withinss(P[:, i])
+        if w < wmin:
+            wmin, imin, mbest = w, i, m
+    labels = np.zeros(n)
+    labels[P[:, imin] > mbest] = 1
+    return labels
+
+
+def clustering_accuracy(pred_labels, true_labels):
+    """Hungarian-assignment clustering accuracy (reference
+    ``clustering.py:470-510``)."""
+    from scipy.optimize import linear_sum_assignment
+
+    pred = np.asarray(pred_labels).astype(int)
+    tl = np.asarray(true_labels).copy()
+    unique_classes, tl = np.unique(tl, return_inverse=True)
+    num_classes = len(unique_classes)
+    num_pred = int(pred.max()) + 1
+    C = np.zeros((num_pred, num_classes))
+    for i in range(num_pred):
+        for j in range(num_classes):
+            C[i, j] = np.sum((pred == i) & (tl == j))
+    row, col = linear_sum_assignment(-C)
+    return 100.0 * C[row, col].sum() / len(tl)
+
+
+def purity(pred_labels, true_labels):
+    """Cluster purity (reference ``clustering.py:513-547``)."""
+    pred = np.asarray(pred_labels).astype(int)
+    tl = np.asarray(true_labels)
+    n = len(tl)
+    total = 0
+    for c in np.unique(pred):
+        members = tl[pred == c]
+        if len(members):
+            _, counts = np.unique(members, return_counts=True)
+            total += counts.max()
+    return 100.0 * total / n

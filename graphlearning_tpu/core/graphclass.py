@@ -1,0 +1,339 @@
+"""``graph`` — user-facing graph object (API parity with reference
+``graphlearning/graph.py`` class ``graph``, re-designed TPU-first).
+
+The reference wraps a scipy CSR matrix plus int32/float64 C-marshalling
+copies (``graph.py:69-84``).  Here the graph lives on device as a padded-ELL
+:class:`SparseGraph`; scipy views are derived lazily only for
+interop/persistence.  All compute methods dispatch to jitted matrix-free
+kernels in :mod:`graphlearning_tpu.ops` / :mod:`graphlearning_tpu.solvers`.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphlearning_tpu import config
+from graphlearning_tpu.core.sparse import SparseGraph
+from graphlearning_tpu.ops import graphops as _ops
+
+
+class graph:
+    """Weighted graph on device.  Accepts scipy sparse, dense numpy,
+    a :class:`SparseGraph`, or another :class:`graph`."""
+
+    def __init__(self, W, k: int | None = None, dtype=None):
+        if isinstance(W, graph):
+            self.g = W.g
+        elif isinstance(W, SparseGraph):
+            self.g = W
+        else:
+            self.g = SparseGraph.from_scipy(W, k=k, dtype=dtype)
+        self.num_nodes = self.g.n
+        # eigendata cache, keyed per normalization then solver params
+        # (reference graph.py:55-67,702-712)
+        self.eigendata = {}
+        self._scipy = None
+        self._mirror = None
+
+    # -- interop ----------------------------------------------------------
+
+    @property
+    def weight_matrix(self):
+        """scipy CSR view (lazily built, host-side) for interop."""
+        if self._scipy is None:
+            self._scipy = self.g.to_scipy()
+        return self._scipy
+
+    @property
+    def sparse(self) -> SparseGraph:
+        return self.g
+
+    def mirror(self):
+        if self._mirror is None:
+            self._mirror = _ops.build_mirror(self.g)
+        return self._mirror
+
+    # -- degrees & friends (reference graph.py:108-290) -------------------
+
+    def degree_vector(self):
+        return np.asarray(_ops.degree_vector(self.g))
+
+    def degree_matrix(self, p: float = 1.0):
+        import scipy.sparse as sp
+
+        d = self.degree_vector() ** p
+        return sp.spdiags(d, 0, self.num_nodes, self.num_nodes).tocsr()
+
+    def adjacency(self):
+        import scipy.sparse as sp
+
+        W = self.weight_matrix.copy()
+        W.data = np.ones_like(W.data)
+        return W
+
+    def rand(self, seed=None):
+        """Random same-sparsity matrix, uniform values (graph.py:236-262)."""
+        rs = np.random.RandomState(seed)
+        W = self.weight_matrix.copy()
+        W.data = rs.rand(len(W.data))
+        return W
+
+    def randn(self, seed=None):
+        rs = np.random.RandomState(seed)
+        W = self.weight_matrix.copy()
+        W.data = rs.randn(len(W.data))
+        return W
+
+    def subgraph(self, ind):
+        W = self.weight_matrix[ind, :][:, ind]
+        return graph(W)
+
+    def isconnected(self):
+        from scipy.sparse import csgraph
+
+        ncomp, _ = csgraph.connected_components(self.weight_matrix)
+        return ncomp == 1
+
+    # -- Laplacians & calculus --------------------------------------------
+
+    def laplacian(self, normalization: str = "combinatorial", alpha: float = 1.0):
+        """scipy sparse Laplacian, for interop (reference graph.py:469-513).
+        Device compute paths use the matrix-free :func:`laplacian_op`."""
+        import scipy.sparse as sp
+
+        W = self.weight_matrix
+        n = self.num_nodes
+        I = sp.identity(n)
+        d = self.degree_vector()
+        if normalization == "combinatorial":
+            return (sp.spdiags(d, 0, n, n) - W).tocsr()
+        elif normalization == "randomwalk":
+            Dinv = sp.spdiags(1.0 / d, 0, n, n)
+            return (I - Dinv @ W).tocsr()
+        elif normalization == "normalized":
+            s = sp.spdiags(d ** -0.5, 0, n, n)
+            return (I - s @ W @ s).tocsr()
+        elif normalization == "coifmanlafon":
+            # density-normalized kernel, then randomwalk Laplacian of it
+            # (graph.py: coifmanlafon recursive construction)
+            Dinv_a = sp.spdiags(d ** -alpha, 0, n, n)
+            K = Dinv_a @ W @ Dinv_a
+            return graph(K).laplacian(normalization="randomwalk")
+        else:
+            raise ValueError(f"invalid normalization {normalization}")
+
+    def laplacian_op(self, normalization: str = "combinatorial"):
+        """Matrix-free (matvec, diag) pair on device — the compute path."""
+        g = self.g
+        deg = _ops.degree_vector(g)
+
+        def matvec(X):
+            return _ops.laplacian_matvec(g, X, normalization, deg=deg)
+
+        diag = _ops.laplacian_diag(g, normalization, deg=deg)
+        return matvec, diag
+
+    def gradient(self, u, weighted: bool = False, p: float = 0.0):
+        """Sparse gradient matrix ``(∇u)_ij = w_ij^p (u_j - u_i)``
+        (API parity with reference graph.py:292-332; the device compute
+        path uses the padded-ELL edge-field form in ``ops.gradient``)."""
+        import scipy.sparse as sp
+
+        u = np.asarray(u)
+        n = self.num_nodes
+        W = self.weight_matrix.tocoo()
+        if p != 0.0:
+            weighted = True
+        if weighted and p == 0.0:
+            p = 1.0
+        diff = u[W.col] - u[W.row]
+        vals = (W.data**p) * diff if weighted else diff
+        return sp.coo_matrix((vals, (W.row, W.col)), shape=(n, n)).tocsr()
+
+    def divergence(self, V, weighted: bool = True):
+        """Graph divergence of a sparse edge field (reference
+        graph.py:334-365): row-sum of ``w ⊙ (V - V^T) / 2``."""
+        V = V - V.T
+        if weighted:
+            V = V.multiply(self.weight_matrix)
+        return np.asarray(V @ np.ones(self.num_nodes)) / 2
+
+    def infinity_laplacian(self, u):
+        return np.asarray(_ops.infinity_laplacian(self.g, jnp.asarray(u)))
+
+    # -- reweighting (reference graph.py:368-466) --------------------------
+
+    def reweight(self, idx, method="poisson", normalization="combinatorial",
+                 tau=0, X=None, alpha=2, zeta=1e7, r=0.1):
+        """Low-label-rate reweighting; returns a new scipy weight matrix
+        (same contract as reference ``graph.reweight``)."""
+        import scipy.sparse as sp
+        from graphlearning_tpu.solvers.cg import conjgrad
+
+        n = self.num_nodes
+        idx = np.asarray(idx)
+        if method == "poisson":
+            f = np.zeros(n)
+            f[idx] = 1.0
+            d = _ops.degree_vector(self.g)
+            if normalization == "combinatorial":
+                f = f - np.mean(f)
+            elif normalization == "normalized":
+                ds = np.sqrt(np.asarray(d))
+                f = f - np.sum(ds * f) / np.sum(ds)
+            else:
+                raise ValueError(f"unsupported normalization {normalization}")
+            matvec, _ = self.laplacian_op(normalization)
+            w, _, _ = conjgrad(matvec, jnp.asarray(f, dtype=config.float_dtype()),
+                               tol=1e-5, max_iter=10**5)
+            w = np.asarray(w)
+            w = w - np.min(w) + 1e-5
+            D = sp.spdiags(w, 0, n, n).tocsr()
+            return D @ self.weight_matrix @ D
+        elif method == "wnll":
+            m = len(idx)
+            a = np.ones(n)
+            a[idx] = n / m
+            D = sp.spdiags(a, 0, n, n).tocsr()
+            W = self.weight_matrix
+            return D @ W + W @ D
+        elif method == "properly":
+            if X is None:
+                raise ValueError("properly reweighting requires features X")
+            from scipy import spatial
+
+            rzeta = r / (zeta - 1) ** (1 / alpha)
+            tree = spatial.cKDTree(X[idx, :])
+            D, _ = tree.query(X)
+            D[D < rzeta] = rzeta
+            gamma = 1 + (r / D) ** alpha
+            Dg = sp.spdiags(gamma, 0, n, n).tocsr()
+            W = self.weight_matrix
+            return Dg @ W + W @ Dg
+        else:
+            raise ValueError(f"invalid reweighting method {method}")
+
+    # -- PageRank (reference graph.py:1371-1412) ---------------------------
+
+    def page_rank(self, alpha=0.85, v=None, tol=1e-10):
+        from graphlearning_tpu.solvers.pagerank import page_rank as _pr
+
+        return np.asarray(_pr(self.g, alpha=alpha, v=v, tol=tol))
+
+    # -- spectral (reference graph.py:623-806) -----------------------------
+
+    def eigen_decomp(self, normalization="combinatorial", method="exact",
+                     k=10, c=None, gamma=0, tol=0, q=1):
+        """Low-lying spectrum of the graph Laplacian, memoized per
+        (normalization, method, k, c, gamma, tol, q) as in reference
+        ``graph.py:55-67,702-806``."""
+        from graphlearning_tpu.solvers import eig as _eig
+
+        key = (normalization, method, k, c, gamma, tol, q)
+        cache = self.eigendata.setdefault(normalization, {})
+        if key not in cache:
+            cache[key] = _eig.eigen_decomp(
+                self.g, normalization=normalization, method=method, k=k,
+                c=c, gamma=gamma, tol=tol, q=q,
+            )
+        vals, vecs = cache[key]
+        return np.asarray(vals), np.asarray(vecs)
+
+    def fiedler_vector(self, method="exact", tol=0):
+        vals, vecs = self.eigen_decomp(normalization="normalized", method=method, k=2, tol=tol)
+        return vecs[:, 1]
+
+    def diffusion_map(self, k=10, t=1, alpha=0.5):
+        """Coifman-Lafon diffusion map embedding (graph.py:584-621)."""
+        from graphlearning_tpu.solvers import eig as _eig
+
+        vals, vecs = self.eigen_decomp(normalization="coifmanlafon", k=k, c=alpha)
+        lam = (1 - vals) ** t
+        return vecs * lam[None, :]
+
+    # -- distance / HJ solvers (reference graph.py:808-1332) --------------
+
+    def dijkstra(self, bdy_set, bdy_val=None, f=1, max_dist=np.inf,
+                 return_cp=False, reciprocal_weights=False):
+        from graphlearning_tpu.solvers import eikonal as _eik
+
+        return _eik.dijkstra(self.g, bdy_set, bdy_val=bdy_val, f=f,
+                             max_dist=max_dist, return_cp=return_cp,
+                             reciprocal_weights=reciprocal_weights)
+
+    def dijkstra_hl(self, bdy_set, bdy_val=None, f=1, max_dist=np.inf, return_cp=False):
+        from graphlearning_tpu.solvers import eikonal as _eik
+
+        return _eik.dijkstra_hl(self.g, bdy_set, bdy_val=bdy_val, f=f,
+                                max_dist=max_dist, return_cp=return_cp)
+
+    def distance(self, i, j):
+        u = self.dijkstra([i])
+        return u[j]
+
+    def distance_matrix(self, centered=False):
+        from graphlearning_tpu.solvers import eikonal as _eik
+
+        return _eik.distance_matrix(self.g, centered=centered)
+
+    def peikonal(self, bdy_set, bdy_val=0, f=1, p=1, max_num_it=10**5,
+                 tol=1e-3, num_bisection_it=30, prog=False):
+        from graphlearning_tpu.solvers import eikonal as _eik
+
+        return _eik.peikonal(self.g, bdy_set, bdy_val=bdy_val, f=f, p=p,
+                             max_num_it=max_num_it, tol=tol,
+                             num_bisection_it=num_bisection_it)
+
+    def plaplace(self, bdy_set, bdy_val, p, max_num_it=10**6, tol=1e-1, prog=False):
+        from graphlearning_tpu.solvers import plaplace as _pl
+
+        return _pl.plaplace(self.g, bdy_set, bdy_val, p, max_num_it=max_num_it, tol=tol)
+
+    def amle(self, bdy_set, bdy_val, tol=1e-5, max_num_it=10**5, weighted=True, prog=False):
+        from graphlearning_tpu.solvers import plaplace as _pl
+
+        return _pl.amle(self.g, bdy_set, bdy_val, tol=tol,
+                        max_num_it=max_num_it, weighted=weighted)
+
+    # -- persistence (reference graph.py:1335-1368) ------------------------
+
+    def save(self, filename):
+        with open(filename, "wb") as fh:
+            pickle.dump(
+                {"scipy": self.g.to_scipy(), "version": 1}, fh,
+                protocol=pickle.HIGHEST_PROTOCOL,
+            )
+
+    @staticmethod
+    def load(filename):
+        with open(filename, "rb") as fh:
+            obj = pickle.load(fh)
+        if isinstance(obj, dict) and "scipy" in obj:
+            return graph(obj["scipy"])
+        # reference-format pickled graph object (graph.py:1335-1368)
+        if hasattr(obj, "weight_matrix"):
+            return graph(obj.weight_matrix)
+        return graph(obj)
+
+    # -- drawing / embedding ----------------------------------------------
+
+    def draw(self, X=None, c=None, cmap="viridis", markersize=None, linewidth=None, alpha=1.0):
+        """Metric-MDS layout + matplotlib scatter/edges (graph.py:1414-1492)."""
+        import matplotlib.pyplot as plt
+
+        if X is None:
+            H = self.distance_matrix(centered=True)
+            vals, vecs = np.linalg.eigh(H)
+            X = vecs[:, -2:] * np.sqrt(np.abs(vals[-2:]))[None, :]
+        W = self.weight_matrix.tocoo()
+        fig, ax = plt.subplots()
+        for i, j in zip(W.row, W.col):
+            if i < j:
+                ax.plot([X[i, 0], X[j, 0]], [X[i, 1], X[j, 1]],
+                        color="black", linewidth=linewidth or 0.5, alpha=0.5 * alpha)
+        ax.scatter(X[:, 0], X[:, 1], c=c, cmap=cmap, s=markersize, zorder=3, alpha=alpha)
+        return X

@@ -1,0 +1,159 @@
+"""Device-resident sparse graph container (padded ELL layout).
+
+TPU-first design (SURVEY.md §7.1): instead of the reference's scipy CSR +
+``I,J,V,K`` int32/float64 C-marshalling copies (reference ``graph.py:69-84``),
+the graph lives on device as a pair of dense ``(n, k)`` arrays:
+
+  * ``cols[i, j]`` — column index of the j-th stored entry of row i
+    (padded entries point at row ``i`` itself, a always-valid gather target),
+  * ``vals[i, j]`` — the weight (padded entries are exactly ``0``),
+  * ``deg[i]``     — number of valid entries in row i (valid entries first).
+
+This is a perfectly regular layout: every neighborhood aggregation is a
+dense gather + a reduction over the fixed ``k`` axis, which XLA tiles onto
+the VPU/MXU without dynamic shapes.  The padding mask is never materialised;
+it is recomputed as ``iota(k) < deg[:, None]`` (free on the VPU).
+
+Rows with degree skew beyond ``k`` are handled at construction time by
+choosing ``k = max_degree`` (optionally rounded up); a bucketed ELL+COO
+hybrid is a planned optimisation (SURVEY.md §7.3 "Padded CSR load balance").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphlearning_tpu import config
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["cols", "vals", "deg"],
+    meta_fields=["n", "k"],
+)
+class SparseGraph:
+    """Padded-ELL sparse matrix / weighted graph, a JAX pytree.
+
+    Semantically equivalent to a scipy CSR matrix ``W`` of shape ``(n, n)``
+    (reference ``graph.graph``'s ``weight_matrix``), but laid out for TPU.
+    """
+
+    def __init__(self, cols, vals, deg, n: int, k: int):
+        self.cols = cols
+        self.vals = vals
+        self.deg = deg
+        self.n = n
+        self.k = k
+
+    # -- construction -----------------------------------------------------
+
+    @staticmethod
+    def from_scipy(W, k: int | None = None, dtype=None) -> "SparseGraph":
+        """Build from any scipy sparse matrix (host-side, one-time setup)."""
+        import scipy.sparse as sp
+
+        W = sp.csr_matrix(W)
+        n = W.shape[0]
+        deg_np = np.diff(W.indptr).astype(np.int32)
+        kmax = int(deg_np.max()) if n > 0 and deg_np.size else 1
+        if k is None:
+            k = max(1, kmax)
+        elif k < kmax:
+            raise ValueError(f"k={k} < max row degree {kmax}")
+        dtype = dtype or config.float_dtype()
+        cols_np = np.repeat(np.arange(n, dtype=np.int32)[:, None], k, axis=1)
+        vals_np = np.zeros((n, k), dtype=np.float64)
+        # scatter CSR entries into the padded rows
+        rows = np.repeat(np.arange(n), deg_np)
+        slot = np.arange(W.indptr[-1]) - np.repeat(W.indptr[:-1], deg_np)
+        cols_np[rows, slot] = W.indices.astype(np.int32)
+        vals_np[rows, slot] = W.data
+        return SparseGraph(
+            cols=jnp.asarray(cols_np, dtype=config.index_dtype),
+            vals=jnp.asarray(vals_np, dtype=dtype),
+            deg=jnp.asarray(deg_np, dtype=config.index_dtype),
+            n=n,
+            k=k,
+        )
+
+    @staticmethod
+    def from_coo(rows, cols, vals, n: int, k: int | None = None, dtype=None) -> "SparseGraph":
+        import scipy.sparse as sp
+
+        W = sp.coo_matrix((np.asarray(vals), (np.asarray(rows), np.asarray(cols))), shape=(n, n))
+        return SparseGraph.from_scipy(W, k=k, dtype=dtype)
+
+    @staticmethod
+    def from_knn(knn_ind, knn_weight, n: int | None = None, dtype=None) -> "SparseGraph":
+        """Build directly from a dense kNN result: ``knn_ind, knn_weight`` of
+        shape ``(n, k)``.  All rows have full degree k — no padding waste.
+        Device-side construction path (no scipy round-trip)."""
+        knn_ind = jnp.asarray(knn_ind, dtype=config.index_dtype)
+        dtype = dtype or config.float_dtype()
+        knn_weight = jnp.asarray(knn_weight, dtype=dtype)
+        n = n or knn_ind.shape[0]
+        k = knn_ind.shape[1]
+        deg = jnp.full((n,), k, dtype=config.index_dtype)
+        return SparseGraph(cols=knn_ind, vals=knn_weight, deg=deg, n=n, k=k)
+
+    # -- conversion -------------------------------------------------------
+
+    def to_scipy(self):
+        """Convert back to scipy CSR (host-side; drops padding)."""
+        import scipy.sparse as sp
+
+        cols = np.asarray(self.cols)
+        vals = np.asarray(self.vals)
+        deg = np.asarray(self.deg)
+        mask = np.arange(self.k)[None, :] < deg[:, None]
+        rows = np.repeat(np.arange(self.n), deg)
+        W = sp.coo_matrix(
+            (vals[mask], (rows, cols[mask])), shape=(self.n, self.n)
+        )
+        return W.tocsr()
+
+    def todense(self):
+        return np.asarray(self.to_scipy().todense())
+
+    # -- basic properties -------------------------------------------------
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n, self.n)
+
+    @property
+    def nnz(self) -> int:
+        return int(np.asarray(self.deg).sum())
+
+    def mask(self):
+        """(n, k) bool validity mask, recomputed on the fly (never stored)."""
+        return (
+            jax.lax.broadcasted_iota(jnp.int32, (self.n, self.k), 1)
+            < self.deg[:, None]
+        )
+
+    def transpose(self) -> "SparseGraph":
+        """Transpose (host-side rebuild).  Symmetric graphs can skip this."""
+        return SparseGraph.from_scipy(self.to_scipy().T.tocsr(), dtype=self.vals.dtype)
+
+    def astype(self, dtype) -> "SparseGraph":
+        return SparseGraph(self.cols, self.vals.astype(dtype), self.deg, self.n, self.k)
+
+    def with_vals(self, vals) -> "SparseGraph":
+        """Same sparsity pattern, new values (must already be 0 on padding)."""
+        return SparseGraph(self.cols, vals, self.deg, self.n, self.k)
+
+    def __repr__(self):
+        return (
+            f"SparseGraph(n={self.n}, k={self.k}, nnz={int(np.asarray(self.deg).sum())}, "
+            f"dtype={self.vals.dtype})"
+        )

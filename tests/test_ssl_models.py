@@ -1,0 +1,142 @@
+"""End-to-end SSL model tests: two-moons accuracy + parity of the device
+solvers against independent scipy re-implementations of the reference math
+(SURVEY.md §4 test strategy)."""
+
+import numpy as np
+import scipy.sparse as sp
+import pytest
+
+import graphlearning_tpu as gl
+
+
+@pytest.fixture(scope="module")
+def moons():
+    import sklearn.datasets as datasets
+
+    X, labels = datasets.make_moons(n_samples=500, noise=0.1, random_state=0)
+    W = gl.weightmatrix.knn(X, 10)
+    rs = np.random.RandomState(1)
+    train_ind = np.concatenate(
+        [rs.choice(np.where(labels == c)[0], 5, replace=False) for c in (0, 1)]
+    )
+    return W, X, labels, train_ind
+
+
+def test_laplace_twomoons_accuracy(moons):
+    W, X, labels, train_ind = moons
+    model = gl.ssl.laplace(W)
+    pred = model.fit_predict(train_ind, labels[train_ind])
+    acc = gl.ssl.ssl_accuracy(pred, labels, train_ind)
+    assert acc > 90.0, acc
+
+
+def test_laplace_parity_scipy(moons):
+    """Device masked-CG Laplace solve == scipy submatrix solve."""
+    W, X, labels, train_ind = moons
+    n = W.shape[0]
+    model = gl.ssl.laplace(W, tol=1e-12)
+    u = model.fit(train_ind, labels[train_ind])
+
+    d = np.asarray(W.sum(1)).ravel()
+    L = sp.spdiags(d, 0, n, n) - W
+    idx = np.full(n, True)
+    idx[train_ind] = False
+    F = np.zeros((n, 2))
+    F[np.arange(len(train_ind)) * 0 + train_ind, labels[train_ind]] = 1
+    from scipy.sparse.linalg import spsolve
+
+    A = L[idx, :][:, idx]
+    b = -L[idx, :][:, train_ind] @ F[train_ind]
+    uref = F.copy()
+    uref[idx] = spsolve(A.tocsc(), b)
+    np.testing.assert_allclose(u, uref, rtol=1e-5, atol=1e-7)
+
+
+def test_poisson_twomoons_accuracy(moons):
+    W, X, labels, train_ind = moons
+    pred = gl.ssl.poisson(W).fit_predict(train_ind, labels[train_ind])
+    acc = gl.ssl.ssl_accuracy(pred, labels, train_ind)
+    assert acc > 90.0, acc
+
+
+def test_poisson_cg_parity(moons):
+    """Poisson CG solution satisfies L u = source (projected)."""
+    W, X, labels, train_ind = moons
+    n = W.shape[0]
+    model = gl.ssl.poisson(W, tol=1e-10)
+    u = model.fit(train_ind, labels[train_ind])
+    d = np.asarray(W.sum(1)).ravel()
+    L = sp.spdiags(d, 0, n, n) - W
+    onehot = np.zeros((len(train_ind), 2))
+    onehot[np.arange(len(train_ind)), labels[train_ind]] = 1
+    source = np.zeros((n, 2))
+    source[train_ind] = onehot - onehot.mean(axis=0)
+    resid = L @ u - source
+    # residual should be (numerically) in the nullspace-orthogonal sense small
+    assert np.abs(resid).max() < 1e-4, np.abs(resid).max()
+
+
+def test_poisson_gradient_descent(moons):
+    W, X, labels, train_ind = moons
+    pred = gl.ssl.poisson(W, solver="gradient_descent").fit_predict(
+        train_ind, labels[train_ind]
+    )
+    acc = gl.ssl.ssl_accuracy(pred, labels, train_ind)
+    assert acc > 85.0, acc
+
+
+def test_randomwalk_model(moons):
+    W, X, labels, train_ind = moons
+    pred = gl.ssl.randomwalk(W).fit_predict(train_ind, labels[train_ind])
+    acc = gl.ssl.ssl_accuracy(pred, labels, train_ind)
+    assert acc > 85.0, acc
+
+
+def test_laplace_normalizations(moons):
+    W, X, labels, train_ind = moons
+    for norm in ("randomwalk", "normalized"):
+        pred = gl.ssl.laplace(W, normalization=norm).fit_predict(
+            train_ind, labels[train_ind]
+        )
+        acc = gl.ssl.ssl_accuracy(pred, labels, train_ind)
+        assert acc > 85.0, (norm, acc)
+
+
+def test_laplace_reweighting_poisson(moons):
+    W, X, labels, train_ind = moons
+    pred = gl.ssl.laplace(W, reweighting="poisson").fit_predict(
+        train_ind, labels[train_ind]
+    )
+    acc = gl.ssl.ssl_accuracy(pred, labels, train_ind)
+    assert acc > 85.0, acc
+
+
+def test_laplace_wnll(moons):
+    W, X, labels, train_ind = moons
+    pred = gl.ssl.laplace(W, reweighting="wnll").fit_predict(
+        train_ind, labels[train_ind]
+    )
+    acc = gl.ssl.ssl_accuracy(pred, labels, train_ind)
+    assert acc > 85.0, acc
+
+
+def test_class_priors_projection(moons):
+    W, X, labels, train_ind = moons
+    priors = gl.utils.class_priors(labels)
+    model = gl.ssl.laplace(W, class_priors=priors)
+    pred = model.fit_predict(train_ind, labels[train_ind])
+    acc = gl.ssl.ssl_accuracy(pred, labels, train_ind)
+    assert acc > 90.0
+    # predicted class sizes should approximately match priors
+    sizes = np.bincount(pred, minlength=2) / len(pred)
+    assert np.abs(sizes - priors).max() < 0.05
+
+
+def test_ssl_trials_runner(moons, tmp_path):
+    W, X, labels, train_ind = moons
+    gl.ssl.results_dir = str(tmp_path)
+    model = gl.ssl.laplace(W)
+    trainsets = [train_ind, np.roll(train_ind, 1)]
+    res = model.ssl_trials(trainsets, labels, overwrite=True)
+    assert res.shape == (2, 2)
+    assert res[:, 1].min() > 80.0

@@ -1,0 +1,111 @@
+"""ctypes loader for the host C++ oracle library.
+
+Compiles ``oracles.cpp`` with g++ on first use (cached next to the source);
+exposes numpy-friendly wrappers.  SURVEY.md §7.1 item 7: exact serial
+oracles used by tests and as a low-latency path for tiny graphs.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_dir = os.path.dirname(os.path.abspath(__file__))
+_src = os.path.join(_dir, "oracles.cpp")
+_so = os.path.join(_dir, "liboracles.so")
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_so) or os.path.getmtime(_so) < os.path.getmtime(_src):
+        subprocess.check_call(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _src, "-o", _so]
+        )
+    lib = ctypes.CDLL(_so)
+    lib.dijkstra_oracle.restype = None
+    lib.peikonal_oracle.restype = None
+    _lib = lib
+    return lib
+
+
+def _csr_parts(W):
+    import scipy.sparse as sp
+
+    W = sp.csr_matrix(W)
+    return (
+        np.ascontiguousarray(W.indptr, dtype=np.int64),
+        np.ascontiguousarray(W.indices, dtype=np.int32),
+        np.ascontiguousarray(W.data, dtype=np.float64),
+        W.shape[0],
+    )
+
+
+def dijkstra_host(W, bdy_set, bdy_val=None, f=1, max_dist=np.inf, hopf_lax=False):
+    """Exact serial Dijkstra on the host (oracle for the device
+    Bellman-Ford iteration).  Returns (dist, cp)."""
+    indptr, indices, data, n = _csr_parts(W)
+    bdy_set = np.ascontiguousarray(np.asarray(bdy_set), dtype=np.int32)
+    m = len(bdy_set)
+    if bdy_val is None or np.isscalar(bdy_val):
+        bdy_val = np.full(m, 0.0 if bdy_val is None else float(bdy_val))
+    bdy_val = np.ascontiguousarray(bdy_val, dtype=np.float64)
+    if np.isscalar(f) or np.ndim(f) == 0:
+        f = np.full(n, float(f))
+    f = np.ascontiguousarray(f, dtype=np.float64)
+    dist = np.full(n, np.inf)
+    cp = np.full(n, -1, dtype=np.int32)
+    lib = _load()
+    lib.dijkstra_oracle(
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int32(n),
+        bdy_set.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        bdy_val.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int32(m),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_double(max_dist),
+        ctypes.c_int32(1 if hopf_lax else 0),
+        dist.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return dist, cp
+
+
+def peikonal_host(W, bdy_set, bdy_val=0, f=1, p=1.0, max_num_it=10**5,
+                  tol=1e-3, num_bisection_it=30):
+    """Exact serial Gauss-Seidel p-eikonal oracle."""
+    indptr, indices, data, n = _csr_parts(W)
+    bdy_set = np.ascontiguousarray(np.asarray(bdy_set), dtype=np.int32)
+    m = len(bdy_set)
+    if np.isscalar(bdy_val) or np.ndim(bdy_val) == 0:
+        bdy_val = np.full(m, float(bdy_val))
+    bdy_val = np.ascontiguousarray(bdy_val, dtype=np.float64)
+    if np.isscalar(f) or np.ndim(f) == 0:
+        f = np.full(n, float(f))
+    f = np.ascontiguousarray(f, dtype=np.float64)
+    u = np.zeros(n)
+    lib = _load()
+    lib.peikonal_oracle(
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int32(n),
+        bdy_set.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        bdy_val.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int32(m),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_double(p),
+        ctypes.c_int32(int(max_num_it)),
+        ctypes.c_double(tol),
+        ctypes.c_int32(num_bisection_it),
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return u

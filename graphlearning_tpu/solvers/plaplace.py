@@ -1,0 +1,202 @@
+"""Game-theoretic p-Laplace / infinity-Laplace (AMLE) solvers.
+
+TPU-native re-expression of ``c_code/lp_iterate.cpp``:
+
+* ``lp_iterate``  — two-sided (upper/lower) relaxation of the
+  game-theoretic p-Laplacian ``(α/deg)Σw∇u + δ(min+max)`` until the
+  sandwich closes (``lp_iterate.cpp:35-125``).  The reference's sweep is
+  already Jacobi (it writes into a second buffer and swaps), so the
+  device version is semantics-identical: one fused update over all nodes
+  per round inside ``lax.while_loop``.
+* ``lip_iterate`` — AMLE iteration ``u ← α·avg + β(min+max)/2``
+  (``lp_iterate.cpp:129-187``; Gauss-Seidel there, Jacobi here — same
+  fixed point of a monotone scheme).
+* ``lip_iterate_weighted`` — per-node 30-step bisection on
+  ``min_j w(t-u_j) + max_j w(t-u_j) = 0`` (``lp_iterate.cpp:190-259``),
+  vectorized: all nodes bisect in lockstep (fixed trip count).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphlearning_tpu.core.sparse import SparseGraph
+from graphlearning_tpu.solvers.eikonal import _boundary_handling
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _lp_iterate(g: SparseGraph, uu0, ul0, bdy_mask, gvals, p, tol, max_iter: int):
+    mask = g.mask()
+    alpha = 1.0 / p
+    delta = 1.0 - 2.0 / p
+    dt = 0.9 / (alpha + 2.0 * jnp.abs(delta))
+    dt = dt / jnp.max(g.vals)
+    wsum = jnp.sum(jnp.where(mask, g.vals, 0.0), axis=1)
+    invdeg = alpha / wsum
+
+    def step_one(u):
+        e = g.vals * (u[g.cols] - u[:, None])
+        e = jnp.where(mask, e, 0.0)
+        sumw = jnp.sum(e, axis=1)
+        # reference initializes min/max accumulators at 0 (lp_iterate.cpp:81)
+        minw = jnp.minimum(jnp.min(e, axis=1), 0.0)
+        maxw = jnp.maximum(jnp.max(e, axis=1), 0.0)
+        return u + dt * (invdeg * sumw + delta * (minw + maxw))
+
+    def body(state):
+        uu, ul, err, it = state
+        vu = jnp.where(bdy_mask, gvals, step_one(uu))
+        vl = jnp.where(bdy_mask, gvals, step_one(ul))
+        err = jnp.max(vu - vl)
+        return vu, vl, err, it + 1
+
+    def cond(state):
+        uu, ul, err, it = state
+        return jnp.logical_and(
+            jnp.logical_or(err > tol, it <= 10), it < max_iter
+        )
+
+    uu0 = jnp.where(bdy_mask, gvals, uu0)
+    ul0 = jnp.where(bdy_mask, gvals, ul0)
+    uu, ul, _, _ = jax.lax.while_loop(
+        cond, body, (uu0, ul0, jnp.asarray(jnp.inf, uu0.dtype), 0)
+    )
+    return uu, ul
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _lip_iterate(g: SparseGraph, u0, bdy_mask, gvals, alpha, beta, tol, max_iter: int):
+    mask = g.mask()
+    big = jnp.asarray(jnp.finfo(u0.dtype).max, u0.dtype)
+    wsum = jnp.sum(jnp.where(mask, g.vals, 0.0), axis=1)
+
+    def body(state):
+        u, err, it = state
+        un = u[g.cols]
+        sumu = jnp.sum(jnp.where(mask, g.vals * un, 0.0), axis=1)
+        minu = jnp.min(jnp.where(mask, un, big), axis=1)
+        maxu = jnp.max(jnp.where(mask, un, -big), axis=1)
+        ne = alpha * sumu / wsum + beta * 0.5 * (minu + maxu)
+        u_new = jnp.where(bdy_mask, gvals, ne)
+        err = jnp.max(jnp.abs(u_new - u))
+        return u_new, err, it + 1
+
+    def cond(state):
+        u, err, it = state
+        return jnp.logical_and(
+            jnp.logical_or(err > tol, it <= 20), it < max_iter
+        )
+
+    u0 = jnp.where(bdy_mask, gvals, u0)
+    u, _, _ = jax.lax.while_loop(cond, body, (u0, jnp.asarray(jnp.inf, u0.dtype), 0))
+    return u
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "num_bisection_it"))
+def _lip_iterate_weighted(g: SparseGraph, u0, bdy_mask, gvals, tol,
+                          max_iter: int, num_bisection_it: int = 30):
+    mask = g.mask()
+    big = jnp.asarray(jnp.finfo(u0.dtype).max, u0.dtype)
+
+    def body(state):
+        u, err, it = state
+        un = u[g.cols]
+        a = jnp.min(jnp.where(mask, un, big), axis=1)
+        b = jnp.max(jnp.where(mask, un, -big), axis=1)
+
+        def bis(i, ab):
+            a, b = ab
+            t = 0.5 * (a + b)
+            e = g.vals * (t[:, None] - un)
+            e = jnp.where(mask, e, 0.0)
+            # reference init at 0 (lp_iterate.cpp:231-233)
+            minw = jnp.minimum(jnp.min(e, axis=1), 0.0)
+            maxw = jnp.maximum(jnp.max(e, axis=1), 0.0)
+            pos = (minw + maxw) > 0
+            return jnp.where(pos, a, t), jnp.where(pos, t, b)
+
+        a, b = jax.lax.fori_loop(0, num_bisection_it, bis, (a, b))
+        ne = 0.5 * (a + b)
+        u_new = jnp.where(bdy_mask, gvals, ne)
+        err = jnp.max(jnp.abs(u_new - u))
+        return u_new, err, it + 1
+
+    def cond(state):
+        u, err, it = state
+        return jnp.logical_and(
+            jnp.logical_or(err > tol, it <= 20), it < max_iter
+        )
+
+    u0 = jnp.where(bdy_mask, gvals, u0)
+    u, _, _ = jax.lax.while_loop(cond, body, (u0, jnp.asarray(jnp.inf, u0.dtype), 0))
+    return u
+
+
+def _prep(g, bdy_set, bdy_val):
+    n = g.n
+    bdy_set, bdy_val_arr = _boundary_handling(bdy_set, bdy_val)
+    bdy_mask = np.zeros(n, dtype=bool)
+    bdy_mask[bdy_set] = True
+    gvals = np.zeros(n)
+    gvals[bdy_set] = bdy_val_arr
+    return jnp.asarray(bdy_mask), gvals, bdy_val_arr
+
+
+def plaplace(g: SparseGraph, bdy_set, bdy_val, p, max_num_it=10**6, tol=1e-1,
+             fast=True):
+    """Game-theoretic p-Laplace interpolation (reference
+    ``graph.py:1177-1279``): ``fast`` uses the unweighted AMLE-style
+    iteration with α=1/(p-1); otherwise the two-sided upper/lower
+    ``lp_iterate`` sandwich."""
+    dtype = g.vals.dtype
+    n = g.n
+    bdy_mask, gvals, bdy_val_arr = _prep(g, bdy_set, bdy_val)
+    eps_floor = 100 * float(jnp.finfo(dtype).eps)
+    if fast:
+        alpha = 1.0 / (p - 1.0)
+        beta = 1.0 - alpha
+        tol_fast = max(1e-6, eps_floor)
+        u = _lip_iterate(
+            g, jnp.zeros((n,), dtype=dtype), bdy_mask,
+            jnp.asarray(gvals, dtype=dtype),
+            jnp.asarray(alpha, dtype=dtype), jnp.asarray(beta, dtype=dtype),
+            jnp.asarray(tol_fast, dtype=dtype), int(max_num_it),
+        )
+        return np.asarray(u).astype(float)
+    uu0 = np.full((n,), bdy_val_arr.max())
+    ul0 = np.full((n,), bdy_val_arr.min())
+    uu, ul = _lp_iterate(
+        g, jnp.asarray(uu0, dtype=dtype), jnp.asarray(ul0, dtype=dtype),
+        bdy_mask, jnp.asarray(gvals, dtype=dtype),
+        jnp.asarray(p, dtype=dtype),
+        jnp.asarray(max(tol, eps_floor), dtype=dtype), int(max_num_it),
+    )
+    return np.asarray((uu + ul) / 2).astype(float)
+
+
+def amle(g: SparseGraph, bdy_set, bdy_val, tol=1e-5, max_num_it=1000,
+         weighted=True):
+    """Absolutely minimal Lipschitz extension — graph infinity-Laplace
+    equation (reference ``graph.py:1281-1332``)."""
+    dtype = g.vals.dtype
+    n = g.n
+    bdy_mask, gvals, _ = _prep(g, bdy_set, bdy_val)
+    tol = max(tol, 100 * float(jnp.finfo(dtype).eps))
+    if weighted:
+        u = _lip_iterate_weighted(
+            g, jnp.zeros((n,), dtype=dtype), bdy_mask,
+            jnp.asarray(gvals, dtype=dtype), jnp.asarray(tol, dtype=dtype),
+            int(max_num_it),
+        )
+    else:
+        u = _lip_iterate(
+            g, jnp.zeros((n,), dtype=dtype), bdy_mask,
+            jnp.asarray(gvals, dtype=dtype),
+            jnp.asarray(0.0, dtype=dtype), jnp.asarray(1.0, dtype=dtype),
+            jnp.asarray(tol, dtype=dtype), int(max_num_it),
+        )
+    return np.asarray(u).astype(float)

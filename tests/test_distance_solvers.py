@@ -1,0 +1,154 @@
+"""Distance/HJ solver tests: device Bellman-Ford & Jacobi iterations vs
+scipy.csgraph and the host C++ oracle (SURVEY.md §2.2 'two implementations'
+strategy)."""
+
+import numpy as np
+import scipy.sparse as sp
+import pytest
+
+import graphlearning_tpu as gl
+from graphlearning_tpu.core.sparse import SparseGraph
+from graphlearning_tpu.solvers import eikonal
+from graphlearning_tpu import native
+
+
+@pytest.fixture(scope="module")
+def pointcloud_graph():
+    rs = np.random.RandomState(0)
+    X = rs.rand(400, 2)
+    X[0] = [0.5, 0.5]
+    W = gl.weightmatrix.knn(X, 12, kernel="distance")
+    return X, W
+
+
+def test_dijkstra_vs_scipy(pointcloud_graph):
+    X, W = pointcloud_graph
+    g = SparseGraph.from_scipy(W)
+    d = eikonal.dijkstra(g, [0])
+    from scipy.sparse.csgraph import dijkstra as scipy_dijkstra
+
+    dref = scipy_dijkstra(W, indices=[0])[0]
+    np.testing.assert_allclose(d, dref, rtol=1e-8, atol=1e-10)
+
+
+def test_dijkstra_vs_host_oracle(pointcloud_graph):
+    X, W = pointcloud_graph
+    g = SparseGraph.from_scipy(W)
+    bdy = [0, 7, 123]
+    gvals = np.array([0.0, 0.1, 0.05])
+    d, cp = eikonal.dijkstra(g, bdy, bdy_val=gvals, return_cp=True)
+    dref, cpref = native.dijkstra_host(W, bdy, bdy_val=gvals)
+    np.testing.assert_allclose(d, dref, rtol=1e-8, atol=1e-10)
+    # closest points may differ on exact ties; require distance agreement
+    assert np.mean(cp == cpref) > 0.99
+
+
+def test_dijkstra_cone(pointcloud_graph):
+    """Analytic oracle: distance to center approximates Euclidean cone
+    (reference examples/dijkstra.py check)."""
+    X, W = pointcloud_graph
+    g = SparseGraph.from_scipy(W)
+    d = eikonal.dijkstra(g, [0])
+    true = np.linalg.norm(X - X[0], axis=1)
+    err = np.max(np.abs(d - true))
+    assert err < 0.15, err
+
+
+def test_dijkstra_hl_vs_host(pointcloud_graph):
+    X, W = pointcloud_graph
+    g = SparseGraph.from_scipy(W)
+    d = eikonal.dijkstra_hl(g, [0])
+    dref, _ = native.dijkstra_host(W, [0], hopf_lax=True)
+    np.testing.assert_allclose(d, dref, rtol=1e-7, atol=1e-9)
+
+
+def test_dijkstra_max_dist(pointcloud_graph):
+    X, W = pointcloud_graph
+    g = SparseGraph.from_scipy(W)
+    d, cp = eikonal.dijkstra(g, [0], max_dist=0.3, return_cp=True)
+    assert np.all(np.isinf(d[d > 0.3]) | (d[d > 0.3] <= 0.3) | np.isinf(d[d > 0.3]))
+    assert np.all(cp[np.isinf(d)] == -1)
+    finite = np.isfinite(d)
+    dfull = eikonal.dijkstra(g, [0])
+    np.testing.assert_allclose(d[finite], dfull[finite], rtol=1e-8)
+
+
+def test_peikonal_p1_vs_host(pointcloud_graph):
+    X, W = pointcloud_graph
+    g = SparseGraph.from_scipy(W)
+    bdy = np.where((X[:, 0] < 0.05) | (X[:, 0] > 0.95)
+                   | (X[:, 1] < 0.05) | (X[:, 1] > 0.95))[0]
+    u = eikonal.peikonal(g, bdy, tol=1e-8)
+    uref = native.peikonal_host(W, bdy, tol=1e-10)
+    np.testing.assert_allclose(u, uref, rtol=1e-4, atol=1e-6)
+
+
+def test_peikonal_p2_vs_host(pointcloud_graph):
+    X, W = pointcloud_graph
+    g = SparseGraph.from_scipy(W)
+    bdy = np.where(X[:, 0] < 0.05)[0]
+    u = eikonal.peikonal(g, bdy, p=2, tol=1e-8)
+    uref = native.peikonal_host(W, bdy, p=2.0, tol=1e-10)
+    np.testing.assert_allclose(u, uref, rtol=1e-3, atol=1e-5)
+
+
+def test_amle_harmonicity():
+    """AMLE solution satisfies the infinity-Laplace equation at interior
+    nodes (residual ~ 0) and the boundary conditions exactly."""
+    rs = np.random.RandomState(2)
+    X = rs.rand(300, 2)
+    W = gl.weightmatrix.knn(X, 10)
+    g = SparseGraph.from_scipy(W)
+    bdy = np.array([0, 5, 50, 100, 250])
+    gvals = np.array([0.0, 1.0, 0.5, -1.0, 2.0])
+    from graphlearning_tpu.solvers import plaplace as pl
+
+    u = pl.amle(g, bdy, gvals, tol=1e-10, max_num_it=10**5)
+    np.testing.assert_allclose(u[bdy], gvals, atol=1e-12)
+    from graphlearning_tpu import ops
+    import jax.numpy as jnp
+
+    res = np.asarray(ops.infinity_laplacian(g, jnp.asarray(u)))
+    interior = np.ones(300, dtype=bool)
+    interior[bdy] = False
+    assert np.max(np.abs(res[interior])) < 1e-4
+
+
+def test_plaplace_maximum_principle():
+    rs = np.random.RandomState(3)
+    X = rs.rand(300, 2)
+    W = gl.weightmatrix.knn(X, 10)
+    g = SparseGraph.from_scipy(W)
+    bdy = np.arange(20)
+    gvals = rs.rand(20)
+    from graphlearning_tpu.solvers import plaplace as pl
+
+    for fast in (True, False):
+        u = pl.plaplace(g, bdy, gvals, p=5, fast=fast, tol=1e-3)
+        assert u.min() >= gvals.min() - 1e-6 and u.max() <= gvals.max() + 1e-6
+        np.testing.assert_allclose(u[bdy], gvals, atol=1e-10)
+
+
+def test_graph_class_distance_api(pointcloud_graph):
+    X, W = pointcloud_graph
+    G = gl.graph(W)
+    d = G.dijkstra([0])
+    assert d[0] == 0 and np.isfinite(d).all()
+    u = G.peikonal([0])
+    assert u[0] == 0 and (u[1:] > 0).all()
+    a = G.amle([0, 10], np.array([0.0, 1.0]))
+    assert abs(a[0]) < 1e-12 and abs(a[10] - 1) < 1e-12
+    p = G.plaplace([0, 10], np.array([0.0, 1.0]), p=4)
+    assert abs(p[0]) < 1e-12
+
+
+def test_distance_matrix_small():
+    rs = np.random.RandomState(1)
+    X = rs.rand(60, 2)
+    W = gl.weightmatrix.knn(X, 8, kernel="distance")
+    g = SparseGraph.from_scipy(W)
+    D = eikonal.distance_matrix(g)
+    from scipy.sparse.csgraph import dijkstra as scipy_dijkstra
+
+    Dref = scipy_dijkstra(W)
+    np.testing.assert_allclose(D, Dref, rtol=1e-8, atol=1e-10)

@@ -288,10 +288,12 @@ class graph:
                              max_num_it=max_num_it, tol=tol,
                              num_bisection_it=num_bisection_it)
 
-    def plaplace(self, bdy_set, bdy_val, p, max_num_it=10**6, tol=1e-1, prog=False):
+    def plaplace(self, bdy_set, bdy_val, p, max_num_it=10**6, tol=1e-1,
+                 prog=False, fast=True):
         from graphlearning_tpu.solvers import plaplace as _pl
 
-        return _pl.plaplace(self.g, bdy_set, bdy_val, p, max_num_it=max_num_it, tol=tol)
+        return _pl.plaplace(self.g, bdy_set, bdy_val, p, max_num_it=max_num_it,
+                            tol=tol, fast=fast)
 
     def amle(self, bdy_set, bdy_val, tol=1e-5, max_num_it=10**5, weighted=True, prog=False):
         from graphlearning_tpu.solvers import plaplace as _pl

@@ -421,3 +421,619 @@ def _poisson_gradient_descent(g: SparseGraph, b, train_ind, min_iter, max_iter):
 
     u, v, T = jax.lax.while_loop(cond, body, (u0, v0, 0))
     return u
+
+
+class poisson_mbo(ssl):
+    """PoissonMBO (Calder-Cook-Thorpe-Slepčev ICML'20; reference
+    ``ssl.py:695-839``): initialize with Poisson learning, then T outer MBO
+    iterations of Ns heat-equation steps ``u ← (I - dt L) u + mu dt source``
+    followed by volume-constrained label projection.  The Ns-step heat
+    stepping runs as one fused jitted ``lax.fori_loop`` on device
+    (replacing the reference's torch-CUDA branch, ssl.py:807-823)."""
+
+    def __init__(self, W=None, class_priors=None, solver="conjugate_gradient",
+                 use_cuda=False, min_iter=50, max_iter=1000, tol=1e-3,
+                 spectral_cutoff=10, Ns=40, mu=1, T=20):
+        super().__init__(W, class_priors)
+        self.poisson_model = poisson(W, solver=solver, min_iter=min_iter,
+                                     max_iter=max_iter, tol=tol,
+                                     spectral_cutoff=spectral_cutoff)
+        self.Ns = Ns
+        self.mu = mu
+        self.T = T
+        fname = "_poisson_mbo"
+        if solver == "spectral":
+            fname += "_N%d" % spectral_cutoff
+            self.requires_eig = True
+        fname += "_Ns_%d_mu_%.2f_T_%d" % (Ns, mu, T)
+        self.accuracy_filename = fname
+        self.name = "Poisson MBO"
+
+    def _fit(self, train_ind, train_labels, all_labels=None):
+        n = self.graph.num_nodes
+        k = len(np.unique(train_labels))
+        W = self.graph.weight_matrix.copy()
+        W.setdiag(0)
+        W.eliminate_zeros()
+        G = _graphmod.graph(W)
+        g = G.sparse
+
+        onehot = utils.labels_to_onehot(train_labels, k)
+        source = np.zeros((n, k))
+        source[train_ind] = onehot - np.mean(onehot, axis=0)
+
+        labels = self.poisson_model.fit_predict(train_ind, train_labels)
+        u = utils.labels_to_onehot(labels, k)
+
+        deg = _ops.degree_vector(g)
+        dt = 1.0 / float(np.asarray(jnp.max(deg)))
+        Db = jnp.asarray(self.mu * dt * source, dtype=config.float_dtype())
+        Ns = self.Ns
+
+        @jax.jit
+        def heat_steps(u):
+            # u ← (I - dt L) u + mu dt src, Ns times (fused on device)
+            def body(j, u):
+                Lu = deg[:, None] * u - _ops.spmm(g, u)
+                return u - dt * Lu + Db
+
+            return jax.lax.fori_loop(0, Ns, body, u)
+
+        for i in range(self.T):
+            u = np.asarray(heat_steps(jnp.asarray(u, dtype=config.float_dtype())))
+            self.prob = u
+            labels = self.volume_label_projection()
+            u = utils.labels_to_onehot(labels, k)
+            if all_labels is not None:
+                acc = ssl_accuracy(labels, all_labels, train_ind)
+                print("%d, Accuracy = %.2f" % (i, acc))
+        return u
+
+
+def _volume_assignment(a, fixed_mask, fixed_labels, lower, upper, target,
+                       max_price_it=500):
+    """Volume-constrained label assignment by dual price ascent.
+
+    The reference implements Jacobs-Merkurjev-Esedoḡlu auction dynamics
+    (sequential bidding with per-class heaps, ``mbo_convolution.cpp:16-316``).
+    The TPU-native equivalent solves the same dual problem: find per-class
+    prices p_c such that ``labels = argmax_c (a_ic + p_c)`` satisfies the
+    volume bounds — all nodes bid in parallel each round and prices adjust
+    by the count violation (SURVEY.md §2.2 'batched/Jacobi auction')."""
+    n, k = a.shape
+
+    @jax.jit
+    def run(a):
+        scale = jnp.max(a) - jnp.min(a) + 1e-8
+
+        def body(state):
+            p, it, done = state
+            scores = a + p[None, :]
+            labels = jnp.argmax(scores, axis=1)
+            labels = jnp.where(fixed_mask, fixed_labels, labels)
+            counts = jnp.sum(
+                jax.nn.one_hot(labels, k, dtype=a.dtype), axis=0
+            )
+            over = jnp.maximum(counts - upper, 0.0)
+            under = jnp.maximum(lower - counts, 0.0)
+            grad = (under - over) / n
+            done = jnp.max(over + under) == 0
+            p = p + scale * 0.5 * grad
+            p = p - jnp.mean(p)
+            return p, it + 1, done
+
+        def cond(state):
+            p, it, done = state
+            return jnp.logical_and(~done, it < max_price_it)
+
+        p0 = jnp.zeros((k,), dtype=a.dtype)
+        p, _, _ = jax.lax.while_loop(cond, body, (p0, 0, jnp.asarray(False)))
+        labels = jnp.argmax(a + p[None, :], axis=1)
+        return jnp.where(fixed_mask, fixed_labels, labels)
+
+    return run(a)
+
+
+class volume_mbo(ssl):
+    """VolumeMBO — auction-dynamics volume-constrained MBO
+    (Jacobs-Merkurjev-Esedoḡlu; reference ``ssl.py:841-910`` +
+    ``c_code/mbo_convolution.cpp``).  TPU-native redesign:
+
+    * Voronoi label initialization = multi-source Bellman-Ford closest
+      point (replacing ``bellman_ford_voronoi_initialization``,
+      mbo_convolution.cpp:528-582),
+    * graph convolution of one-hot labels = row-normalized dual SpMM
+      ``P(P u)`` (replacing ``calc_dual_convolution``),
+    * volume-constrained thresholding = batched dual price ascent
+      (replacing sequential forward/reverse auctions),
+    * temperature = Gumbel noise on the affinities (Monte-Carlo
+      thresholding, mbo_convolution.cpp:770-802 analogue)."""
+
+    def __init__(self, W=None, class_priors=None, temperature=0.1,
+                 volume_constraint=0.5, max_iters=300, seed=0):
+        super().__init__(W, None)
+        if class_priors is None:
+            sys.exit("Class priors must be provided for Volume MBO.")
+        self.class_counts = (self.graph.num_nodes * np.asarray(class_priors)
+                             / np.sum(class_priors)).astype(int)
+        self.temperature = temperature
+        self.volume_constraint = volume_constraint
+        self.max_iters = max_iters
+        self.seed = seed
+        self.accuracy_filename = "_volume_mbo_temp_%.2f_vol_%.2f" % (
+            temperature, volume_constraint)
+        self.name = "Volume MBO (T=%.2f, V=%.2f)" % (temperature, volume_constraint)
+
+    def _fit(self, train_ind, train_labels, all_labels=None):
+        from graphlearning_tpu.solvers import eikonal as _eik
+
+        n = self.graph.num_nodes
+        k = len(np.unique(train_labels))
+        W = self.graph.weight_matrix.copy()
+        W.setdiag(0)
+        W.eliminate_zeros()
+        G = _graphmod.graph(W)
+        g = G.sparse
+        dtype = config.float_dtype()
+
+        # Voronoi initialization via closest labeled point
+        _, cp = _eik.dijkstra(g, train_ind, bdy_val=np.zeros(len(train_ind)),
+                              return_cp=True)
+        lab_of = np.full(n, -1, dtype=int)
+        lab_of[train_ind] = train_labels
+        labels = np.array(lab_of[np.maximum(cp, 0)])
+        labels[labels < 0] = 0
+        labels[train_ind] = train_labels
+
+        fixed_mask = np.zeros(n, dtype=bool)
+        fixed_mask[train_ind] = True
+        fixed_labels = np.zeros(n, dtype=int)
+        fixed_labels[train_ind] = train_labels
+
+        vc = self.volume_constraint
+        lower = jnp.asarray(np.floor(vc * self.class_counts), dtype=dtype)
+        upper = jnp.asarray(np.ceil((2 - vc) * self.class_counts), dtype=dtype)
+        target = jnp.asarray(self.class_counts, dtype=dtype)
+        fixed_mask_j = jnp.asarray(fixed_mask)
+        fixed_labels_j = jnp.asarray(fixed_labels)
+
+        deg = _ops.degree_vector(g)
+
+        @jax.jit
+        def dual_conv(labels):
+            u = jax.nn.one_hot(labels, k, dtype=dtype)
+            a = _ops.spmm(g, u) / deg[:, None]
+            a = _ops.spmm(g, a) / deg[:, None]
+            return a
+
+        key = jax.random.PRNGKey(self.seed)
+        temp = self.temperature
+        for it in range(self.max_iters):
+            a = dual_conv(jnp.asarray(labels))
+            if temp > 0:
+                key, sub = jax.random.split(key)
+                a = a + temp / (it + 1) * jax.random.gumbel(sub, a.shape, dtype=dtype) / n
+            new_labels = np.array(
+                _volume_assignment(a, fixed_mask_j, fixed_labels_j, lower,
+                                   upper, target)
+            )
+            changed = np.sum(new_labels != labels)
+            labels = new_labels
+            if all_labels is not None:
+                acc = ssl_accuracy(labels, all_labels, train_ind)
+                print("%d, changed=%d, Accuracy = %.2f" % (it, changed, acc))
+            if changed == 0 and (temp == 0 or it > 10):
+                break
+        labels[train_ind] = train_labels
+        return utils.labels_to_onehot(labels, k)
+
+
+class multiclass_mbo(ssl):
+    """Multiclass MBO (Garcia-Cardona et al.; reference ``ssl.py:912-1005``):
+    diffusion in a truncated eigenbasis + fidelity + threshold.  The inner
+    Ns-step diffusion is dense (num_eig-rank) matmuls — fully on device."""
+
+    def __init__(self, W=None, class_priors=None, Ns=6, T=10, dt=0.15, mu=50,
+                 num_eig=50, seed=0):
+        super().__init__(W, class_priors)
+        self.Ns, self.T, self.dt, self.mu, self.num_eig = Ns, T, dt, mu, num_eig
+        self.seed = seed
+        self.requires_eig = True
+        self.accuracy_filename = "_multiclass_mbo_Ns_%d_T_%d_dt_%.3f_mu_%.2f" % (
+            Ns, T, dt, mu)
+        self.name = "Multiclass MBO"
+
+    def _fit(self, train_ind, train_labels, all_labels=None):
+        Ns, T, dt, mu = self.Ns, self.T, self.dt, self.mu
+        n = self.graph.num_nodes
+        k = len(np.unique(train_labels))
+        dtype = config.float_dtype()
+
+        eigvals, X = self.graph.eigen_decomp(normalization="normalized",
+                                             k=self.num_eig)
+        X = jnp.asarray(X, dtype=dtype)
+        V = jnp.asarray(1.0 / (1.0 + (dt / Ns) * eigvals), dtype=dtype)
+
+        rs = np.random.RandomState(self.seed)
+        u0 = utils.labels_to_onehot(rs.rand(n, k).argmax(axis=1), k)
+        u0[train_ind] = utils.labels_to_onehot(train_labels, k)
+        J = np.zeros((n, 1))
+        J[train_ind] = 1
+        K = np.zeros((n, k))
+        K[train_ind] = utils.labels_to_onehot(train_labels, k)
+        J = jnp.asarray(J, dtype=dtype)
+        K = jnp.asarray(K, dtype=dtype)
+
+        @jax.jit
+        def mbo_iter(u):
+            def diffuse(s, u):
+                Z = u - (dt / Ns) * mu * J * (u - K)
+                return X @ (V[:, None] * (X.T @ Z))
+
+            u = jax.lax.fori_loop(0, Ns, diffuse, u)
+            labels = jnp.argmax(u, axis=1)
+            return jax.nn.one_hot(labels, k, dtype=dtype)
+
+        u = jnp.asarray(u0, dtype=dtype)
+        for i in range(T):
+            u = mbo_iter(u)
+            if all_labels is not None:
+                self.prob = np.asarray(u)
+                acc = ssl_accuracy(self.predict(), all_labels, train_ind)
+                print("Accuracy = %.2f" % acc)
+        return np.asarray(u)
+
+
+class modularity_mbo(ssl):
+    """Modularity MBO (Boyd et al.; reference ``ssl.py:1007-1103``):
+    modularity-spectrum diffusion ``exp(-λ dt)`` + fidelity + threshold."""
+
+    def __init__(self, W=None, class_priors=None, gamma=0.5, epsilon=1,
+                 lamb=1, T=20, Ns=5):
+        super().__init__(W, class_priors)
+        self.gamma, self.epsilon, self.lamb, self.T, self.Ns = gamma, epsilon, lamb, T, Ns
+        self.requires_eig = True
+        self.accuracy_filename = "_modularity_mbo_gamma_%.2f_epsilon_%.2f_lamb_%.2f" % (
+            gamma, epsilon, lamb)
+        self.name = "Modularity MBO"
+
+    def _fit(self, train_ind, train_labels, all_labels=None):
+        gamma, eps, lamb, T, Ns = self.gamma, self.epsilon, self.lamb, self.T, self.Ns
+        n = self.graph.num_nodes
+        k = len(np.unique(train_labels))
+        dtype = config.float_dtype()
+
+        train_onehot = utils.labels_to_onehot(train_labels, k)
+        u0 = np.zeros((n, k))
+        u0[train_ind] = train_onehot
+
+        num_eig = 5 * k
+        D, V = self.graph.eigen_decomp(normalization="combinatorial",
+                                       k=num_eig, gamma=gamma)
+
+        deg = self.graph.degree_vector()
+        dtlow = 0.15 / ((gamma + 1) * np.max(deg))
+        dthigh = np.log(np.linalg.norm(u0) / eps) / max(D[0], 1e-12)
+        dt = np.sqrt(dtlow * max(dthigh, dtlow))
+
+        Vj = jnp.asarray(V, dtype=dtype)
+        expD = jnp.asarray(np.exp(-D * dt), dtype=dtype)
+        ti = jnp.asarray(train_ind)
+        onehot_j = jnp.asarray(train_onehot, dtype=dtype)
+
+        @jax.jit
+        def mbo_iter(u):
+            u = Vj @ (expD[:, None] * (Vj.T @ u))
+            if lamb > 0:
+                def fid(s, u):
+                    return u.at[ti].add(-(dt / Ns) * lamb * (u[ti] - onehot_j))
+
+                u = jax.lax.fori_loop(0, Ns, fid, u)
+            labels = jnp.argmax(u, axis=1)
+            return jax.nn.one_hot(labels, k, dtype=dtype)
+
+        u = jnp.asarray(u0, dtype=dtype)
+        for i in range(T):
+            u = mbo_iter(u)
+            if all_labels is not None:
+                self.prob = np.asarray(u)
+                acc = ssl_accuracy(self.predict(), all_labels, train_ind)
+                print("Accuracy = %.2f" % acc)
+        return np.asarray(u)
+
+
+class dynamic_label_propagation(ssl):
+    """Dynamic label propagation (Wang-Tu-Tsotsos; reference
+    ``ssl.py:1263-1343``): dense T-step propagation with kernel update
+    ``Pt ← P Pt Pᵀ + α v vᵀ + λ I`` — dense device matmuls (MXU)."""
+
+    def __init__(self, W=None, class_priors=None, alpha=0.05, lam=0.1, T=2):
+        super().__init__(W, class_priors)
+        self.alpha, self.lam, self.T = alpha, lam, T
+        self.accuracy_filename = "_dynamic_label_propagation"
+        self.name = "Dynamic Label Propagation"
+
+    def _fit(self, train_ind, train_labels, all_labels=None):
+        n = self.graph.num_nodes
+        k = len(np.unique(train_labels))
+        if n > 5000:
+            print("Cannot use Dynamic Label Propagation on large datasets.")
+            return np.zeros((n, k))
+        dtype = config.float_dtype()
+        W = self.graph.weight_matrix.copy()
+        W.setdiag(0)
+        W.eliminate_zeros()
+        d = np.asarray(W.sum(1)).ravel()
+        P = jnp.asarray(np.asarray(W.todense()) / d[:, None], dtype=dtype)
+        K = utils.labels_to_onehot(train_labels, k)
+        u = np.zeros((n, k))
+        u[train_ind] = K
+        ti = jnp.asarray(train_ind)
+        Kj = jnp.asarray(K, dtype=dtype)
+        alpha, lam = self.alpha, self.lam
+
+        @jax.jit
+        def step(u, Pt):
+            v = P @ u
+            u = Pt @ u
+            u = u.at[ti].set(Kj)
+            Pt = P @ Pt @ P.T + alpha * (v @ v.T) + lam * jnp.eye(n, dtype=dtype)
+            return u, Pt
+
+        uj = jnp.asarray(u, dtype=dtype)
+        Pt = P
+        for i in range(self.T):
+            uj, Pt = step(uj, Pt)
+            if all_labels is not None:
+                self.prob = np.asarray(uj)
+                acc = ssl_accuracy(self.predict(), all_labels, train_ind)
+                print("Accuracy = %.2f" % acc)
+        return np.asarray(uj)
+
+
+class centered_kernel(ssl):
+    """Centered kernel method (Mai-Couillet; reference ``ssl.py:1346-1426``):
+    power iteration for the top centered-kernel eigenvalue, then a
+    fixed-point iteration to tolerance — one fused jitted program."""
+
+    def __init__(self, W=None, class_priors=None, tol=1e-10, power_it=100,
+                 alpha=1.05, seed=0):
+        super().__init__(W, class_priors)
+        self.tol = tol
+        self.power_it = power_it
+        self.alpha = alpha
+        self.seed = seed
+        self.accuracy_filename = "_centered_kernel"
+        self.name = "Centered Kernel"
+
+    def _fit(self, train_ind, train_labels, all_labels=None):
+        n = self.graph.num_nodes
+        k = len(np.unique(train_labels))
+        dtype = config.float_dtype()
+        W = self.graph.weight_matrix.copy()
+        W.setdiag(0)
+        W.eliminate_zeros()
+        g = SparseGraph.from_scipy(W)
+
+        K = np.zeros((n, k))
+        K[train_ind] = utils.labels_to_onehot(train_labels, k)
+        K[train_ind] -= np.sum(K, axis=0) / len(train_ind)
+        Kj = jnp.asarray(K, dtype=dtype)
+        mask = np.zeros(n, dtype=bool)
+        mask[train_ind] = True
+        maskj = jnp.asarray(mask)
+        tol = max(self.tol, 100 * float(jnp.finfo(dtype).eps))
+
+        def center(X):
+            return X - jnp.mean(X, axis=0, keepdims=True)
+
+        def A(X):  # centered kernel operator
+            return center(_ops.spmm(g, center(X)))
+
+        @jax.jit
+        def solve(key):
+            e = jax.random.normal(key, (n, 1), dtype=dtype)
+
+            def pbody(i, e):
+                w = A(e)
+                return w / jnp.linalg.norm(w)
+
+            e = jax.lax.fori_loop(0, self.power_it, pbody, e)
+            l = jnp.abs(jnp.vdot(e, A(e)) / jnp.vdot(e, e))
+            alpha = self.alpha * l
+
+            def cond(state):
+                u, err, it = state
+                return jnp.logical_and(err > tol, it < 10**5)
+
+            def body(state):
+                u, err, it = state
+                w = A(u) / alpha - u
+                w = jnp.where(maskj[:, None], 0.0, w)
+                err = jnp.max(jnp.abs(w))
+                return u + w, err, it + 1
+
+            u, _, _ = jax.lax.while_loop(
+                cond, body, (Kj, jnp.asarray(jnp.inf, dtype), 0)
+            )
+            return u
+
+        return np.asarray(solve(jax.random.PRNGKey(self.seed)))
+
+
+class sparse_label_propagation(ssl):
+    """Sparse label propagation (Jung et al.; reference
+    ``ssl.py:1429-1508``): primal-dual TV iteration on graph gradients.
+    Edge fields live in the padded-ELL (n,k_edges) layout; the per-class
+    loop of the reference is batched into one (n, k_edges, k_classes)
+    program on device (ops.gradient/divergence, mirror indices)."""
+
+    def __init__(self, W=None, class_priors=None, T=100):
+        super().__init__(W, class_priors)
+        self.T = T
+        self.accuracy_filename = "_sparse_label_propagation"
+        self.name = "Sparse LP"
+
+    def _fit(self, train_ind, train_labels, all_labels=None):
+        from graphlearning_tpu.ops.graphops import build_mirror
+
+        n = self.graph.num_nodes
+        kc = len(np.unique(train_labels))
+        g = self.graph.sparse
+        dtype = config.float_dtype()
+        mirror_idx, has = self.graph.mirror()
+        mask = g.mask()
+
+        onehot = utils.labels_to_onehot(train_labels, kc)
+        ti = jnp.asarray(train_ind)
+        onehot_j = jnp.asarray(onehot, dtype=dtype)
+        deg = _ops.degree_vector(g)
+        gamma = 1.0 / deg
+        # lam_ij = 1/(2 w_ij + 1e-10)  (the reference computes this with
+        # log1p/expm1 sparse-safe algebra, ssl.py:1460-1463)
+        lam = jnp.where(mask, 1.0 / (2.0 * g.vals + 1e-10), 0.0)
+
+        @jax.jit
+        def run():
+            u0 = jnp.zeros((n, kc), dtype=dtype)
+            Y0 = jnp.zeros((n, g.k, kc), dtype=dtype)
+
+            def grad_all(u):
+                # weighted gradient per class: (n, k_edges, kc)
+                diff = u[g.cols] - u[:, None, :]
+                return jnp.where(mask[:, :, None], g.vals[:, :, None] * diff, 0.0)
+
+            def div_all(Y):
+                Yt = jnp.where(
+                    has[:, :, None],
+                    Y.reshape(n * g.k, kc)[mirror_idx.reshape(-1)].reshape(n, g.k, kc),
+                    0.0,
+                )
+                Aa = g.vals[:, :, None] * (Y - Yt)
+                return 0.5 * jnp.sum(jnp.where(mask[:, :, None], Aa, 0.0), axis=1)
+
+            def body(i, state):
+                u, Y = state
+                u_prev = u
+                div = 2.0 * div_all(Y)
+                u = u_prev - gamma[:, None] * div
+                u = u.at[ti].set(onehot_j)
+                u_tilde = 2.0 * u - u_prev
+                Gu = -grad_all(u_tilde)
+                Y = Y + Gu * lam[:, :, None]
+                Y = jnp.clip(Y, -1.0, 1.0)
+                return u, Y
+
+            u, Y = jax.lax.fori_loop(0, self.T, body, (u0, Y0))
+            return u
+
+        return np.asarray(run())
+
+
+class graph_nearest_neighbor(ssl):
+    """Geodesic nearest-neighbor classifier via Bellman-Ford closest-point
+    labels (reference ``ssl.py:1511-1567``), with optional kNN-density
+    reweighting of the eikonal RHS."""
+
+    def __init__(self, W=None, class_priors=None, D=None, alpha=1):
+        super().__init__(W, class_priors)
+        self.alpha = alpha
+        if class_priors is not None:
+            self.onevsrest = True
+            self.similarity = False
+        if D is None:
+            self.f = 1
+        else:
+            d = np.asarray(D.max(axis=1).todense()).ravel()
+            self.f = (d / np.max(d)) ** alpha
+        self.accuracy_filename = "_graph_nearest_neighbor_alpha%.2f" % self.alpha
+        self.name = "Graph NN (alpha=%.2f)" % self.alpha
+
+    def _fit(self, train_ind, train_labels, all_labels=None):
+        from graphlearning_tpu.solvers import eikonal as _eik
+
+        g = self.graph.sparse
+        if self.onevsrest:
+            return _eik.dijkstra(g, train_ind[train_labels], bdy_val=0, f=self.f)
+        _, cp = _eik.dijkstra(g, train_ind,
+                              bdy_val=np.zeros(len(train_ind)), f=self.f,
+                              return_cp=True)
+        lab_of = np.zeros(self.graph.num_nodes, dtype=int)
+        lab_of[train_ind] = train_labels
+        k = len(np.unique(train_labels))
+        return utils.labels_to_onehot(lab_of[cp], k)
+
+
+class amle(ssl):
+    """AMLE (infinity-Laplace) learning, one-vs-rest wrapper over the
+    device solver (reference ``ssl.py:1569-1614``)."""
+
+    def __init__(self, W=None, class_priors=None, tol=1e-3, max_num_it=10**5,
+                 weighted=False, prog=False):
+        super().__init__(W, class_priors)
+        self.tol = tol
+        self.max_num_it = max_num_it
+        self.weighted = weighted
+        self.onevsrest = True
+        self.accuracy_filename = "_amle" + ("" if weighted else "_unweighted")
+        self.name = "AMLE"
+
+    def _fit(self, train_ind, train_labels, all_labels=None):
+        return self.graph.amle(train_ind, train_labels.astype(float),
+                               tol=self.tol, max_num_it=self.max_num_it,
+                               weighted=self.weighted)
+
+
+class peikonal(ssl):
+    """p-eikonal learning, one-vs-rest distance scores (reference
+    ``ssl.py:1616-1678``)."""
+
+    def __init__(self, W=None, class_priors=None, D=None, p=1, alpha=1,
+                 max_num_it=10**5, tol=1e-3, num_bisection_it=30,
+                 eps_ball_graph=False):
+        super().__init__(W, class_priors)
+        self.p = p
+        self.alpha = alpha
+        self.max_num_it = max_num_it
+        self.tol = tol
+        self.num_bisection_it = num_bisection_it
+        self.onevsrest = True
+        self.similarity = False
+        if D is None:
+            if eps_ball_graph:
+                d = self.graph.degree_vector()
+                self.f = (d / np.max(d)) ** (-alpha)
+            else:
+                self.f = 1
+        else:
+            d = np.asarray(D.max(axis=1).todense()).ravel()
+            self.f = (d / np.max(d)) ** alpha
+        self.accuracy_filename = "_peikonal_p%.2f_alpha%.2f" % (self.p, self.alpha)
+        self.name = "p-eikonal (p=%.2f, alpha=%.2f)" % (self.p, self.alpha)
+
+    def _fit(self, train_ind, train_labels, all_labels=None):
+        return self.graph.peikonal(train_ind[train_labels], bdy_val=0,
+                                   f=self.f, p=self.p,
+                                   max_num_it=self.max_num_it, tol=self.tol,
+                                   num_bisection_it=self.num_bisection_it)
+
+
+class plaplace(ssl):
+    """Game-theoretic p-Laplace learning, one-vs-rest wrapper (reference
+    ``ssl.py:1681-1727``)."""
+
+    def __init__(self, W=None, class_priors=None, p=10, max_num_it=10**6,
+                 tol=1e-1, fast=True):
+        super().__init__(W, class_priors)
+        self.p = p
+        self.max_num_it = max_num_it
+        self.tol = 1e-5 if fast else tol
+        self.onevsrest = True
+        self.fast = fast
+        self.accuracy_filename = "_plaplace_p%.2f" % self.p
+        self.name = "p-Laplace (p=%.2f)" % self.p
+
+    def _fit(self, train_ind, train_labels, all_labels=None):
+        return self.graph.plaplace(train_ind, train_labels.astype(float),
+                                   self.p, max_num_it=self.max_num_it,
+                                   tol=self.tol)

@@ -1,0 +1,129 @@
+"""Benchmark driver: SpMM edges/s/chip (BASELINE.json north-star metric 1).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Workload: a realistic kNN graph (random 2-D points → exact kNN → RCM
+reordering), the graph family the framework targets (MNIST-style kNN
+graphs, reference weightmatrix.py).  The measured op is the framework's
+fast path: the banded Pallas SpMM kernel + XLA residual (ELL+COO hybrid,
+graphlearning_tpu/ops/pallas_spmm.py), chained over iterations so the
+remote runtime cannot elide executions.
+
+``vs_baseline`` is the speedup over the reference's compute path (scipy
+CSR SpMM on host CPU, float64 — reference utils.py:523 CG hot loop) on
+the same graph.
+
+Config via env: GLT_BENCH_N, GLT_BENCH_K, GLT_BENCH_D, GLT_BENCH_ITERS,
+GLT_BENCH_PALLAS=0 to force the XLA gather path.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main():
+    n = int(os.environ.get("GLT_BENCH_N", 1 << 20))
+    k = int(os.environ.get("GLT_BENCH_K", 16))
+    d = int(os.environ.get("GLT_BENCH_D", 128))
+    iters = int(os.environ.get("GLT_BENCH_ITERS", 20))
+    use_pallas = os.environ.get("GLT_BENCH_PALLAS", "1") != "0"
+
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from scipy.spatial import cKDTree
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    from graphlearning_tpu.core.sparse import SparseGraph
+    from graphlearning_tpu.ops import graphops as ops
+
+    # realistic kNN graph: 2-D points, exact kNN, gaussian weights, RCM
+    rs = np.random.RandomState(0)
+    pts = rs.rand(n, 2)
+    tree = cKDTree(pts)
+    dist, ind = tree.query(pts, k=k + 1)
+    dist, ind = dist[:, 1:], ind[:, 1:]
+    eps = np.maximum(dist[:, -1:] ** 2, 1e-12)
+    w = np.exp(-4 * dist**2 / eps).astype(np.float64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), k)
+    W = sp.csr_matrix((w.ravel(), (rows, ind.ravel())), shape=(n, n))
+    W = (W + W.T) / 2
+    perm = np.asarray(reverse_cuthill_mckee(W, symmetric_mode=True))
+    W = W[perm, :][:, perm].tocsr()
+    nnz = W.nnz
+
+    g = SparseGraph.from_scipy(W, dtype=jnp.float32)
+    X_np = rs.randn(n, d).astype(np.float32)
+    X = jnp.asarray(X_np)
+
+    pallas_ok = False
+    if use_pallas and jax.default_backend() != "cpu":
+        try:
+            from graphlearning_tpu.parallel.shard import pad_graph_to
+            from graphlearning_tpu.ops.pallas_spmm import (
+                plan_banded, spmm_banded_hybrid)
+
+            R, Wwin = 512, 1024
+            gp = pad_graph_to(g, R)
+            if gp.n != g.n:
+                X = jnp.pad(X, ((0, gp.n - g.n), (0, 0)))
+            plan = plan_banded(np.asarray(gp.cols), R=R, W=Wwin)
+            plan = (plan[0], jnp.asarray(plan[1]), jnp.asarray(plan[2]))
+            residual_frac = len(plan[1]) / (gp.n * gp.k)
+
+            # arrays must be jit ARGUMENTS: closed-over constants are
+            # serialized into the remote-compile payload (HTTP 413)
+            _hybrid = jax.jit(
+                lambda g_, plan_, X: spmm_banded_hybrid(g_, X, plan_, W=Wwin, R=R)
+            )
+            fn = lambda X: _hybrid(gp, plan, X)
+            pallas_ok = True
+        except Exception as e:  # pragma: no cover - fallback path
+            print(f"# pallas path failed ({e}); falling back to XLA", flush=True)
+    if not pallas_ok:
+        residual_frac = 0.0
+        _spmm = jax.jit(ops.spmm)
+        fn = lambda X: _spmm(g, X)
+
+    out = fn(X)
+    out.block_until_ready()  # compile + warm up
+    t0 = time.perf_counter()
+    Y = X
+    for _ in range(iters):
+        Y = fn(Y)  # chained: forces sequential real execution
+    Y.block_until_ready()
+    dt = time.perf_counter() - t0
+    edges_per_s = nnz * iters / dt
+
+    # reference-path baseline: scipy CSR SpMM (float64, host CPU)
+    Xc = X_np.astype(np.float64)
+    base_iters = max(1, iters // 10)
+    W @ Xc  # warm
+    t0 = time.perf_counter()
+    Yc = Xc
+    for _ in range(base_iters):
+        Yc = W @ Yc
+    dt_base = time.perf_counter() - t0
+    base_edges_per_s = nnz * base_iters / dt_base
+
+    result = {
+        "metric": "spmm_edges_per_sec_per_chip",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s",
+        "vs_baseline": round(edges_per_s / base_edges_per_s, 3),
+        "config": {
+            "n": n, "k": k, "d": d, "iters": iters, "nnz": int(nnz),
+            "backend": jax.default_backend(),
+            "kernel": "pallas_banded_hybrid" if pallas_ok else "xla_gather",
+            "residual_frac": round(float(residual_frac), 5),
+            "baseline": "scipy CSR SpMM f64 host",
+        },
+        "baseline_edges_per_sec": round(base_edges_per_s, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -141,6 +141,18 @@ class SparseGraph:
             < self.deg[:, None]
         )
 
+    def reorder_rcm(self):
+        """Reverse-Cuthill-McKee reordering (host-side): returns
+        ``(reordered_graph, perm)`` with ``perm`` mapping new→old indices.
+        Minimises bandwidth so the banded Pallas SpMM kernel
+        (``ops/pallas_spmm.py``) covers almost all edges in-window."""
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        W = self.to_scipy()
+        perm = np.asarray(reverse_cuthill_mckee(W, symmetric_mode=True))
+        Wp = W[perm, :][:, perm]
+        return SparseGraph.from_scipy(Wp, dtype=self.vals.dtype), perm
+
     def transpose(self) -> "SparseGraph":
         """Transpose (host-side rebuild).  Symmetric graphs can skip this."""
         return SparseGraph.from_scipy(self.to_scipy().T.tocsr(), dtype=self.vals.dtype)

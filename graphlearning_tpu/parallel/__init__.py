@@ -1,0 +1,19 @@
+from graphlearning_tpu.parallel.mesh import make_mesh, node_sharding, replicated
+from graphlearning_tpu.parallel.shard import (
+    pad_graph_to,
+    shard_graph,
+    sharded_spmm,
+    sharded_spmm_ring,
+    put_features,
+)
+
+__all__ = [
+    "make_mesh",
+    "node_sharding",
+    "replicated",
+    "pad_graph_to",
+    "shard_graph",
+    "sharded_spmm",
+    "sharded_spmm_ring",
+    "put_features",
+]

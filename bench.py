@@ -65,18 +65,21 @@ def main():
             from graphlearning_tpu.ops.pallas_spmm import (
                 plan_banded, spmm_banded_hybrid)
 
-            R, Wwin = 512, 1024
-            gp = pad_graph_to(g, R)
+            R = 512
+            gp = pad_graph_to(g, 1024)  # lcm(R, WT)
             if gp.n != g.n:
                 X = jnp.pad(X, ((0, gp.n - g.n), (0, 0)))
-            plan = plan_banded(np.asarray(gp.cols), R=R, W=Wwin)
-            plan = (plan[0], jnp.asarray(plan[1]), jnp.asarray(plan[2]))
-            residual_frac = len(plan[1]) / (gp.n * gp.k)
+            winstart, rrows, rslots, Wwin = plan_banded(
+                np.asarray(gp.cols), R=R)
+            plan = (winstart, jnp.asarray(rrows), jnp.asarray(rslots))
+            residual_frac = len(rrows) / (gp.n * gp.k)
 
             # arrays must be jit ARGUMENTS: closed-over constants are
-            # serialized into the remote-compile payload (HTTP 413)
+            # serialized into the remote-compile payload (HTTP 413).
+            # Wwin is a static shape parameter → closure is fine.
             _hybrid = jax.jit(
-                lambda g_, plan_, X: spmm_banded_hybrid(g_, X, plan_, W=Wwin, R=R)
+                lambda g_, plan_, X: spmm_banded_hybrid(
+                    g_, X, (*plan_, Wwin), W=Wwin, R=R)
             )
             fn = lambda X: _hybrid(gp, plan, X)
             pallas_ok = True
@@ -118,6 +121,7 @@ def main():
             "backend": jax.default_backend(),
             "kernel": "pallas_banded_hybrid" if pallas_ok else "xla_gather",
             "residual_frac": round(float(residual_frac), 5),
+            "window": int(Wwin) if pallas_ok else 0,
             "baseline": "scipy CSR SpMM f64 host",
         },
         "baseline_edges_per_sec": round(base_edges_per_s, 1),

@@ -339,3 +339,11 @@ class graph:
                         color="black", linewidth=linewidth or 0.5, alpha=0.5 * alpha)
         ax.scatter(X[:, 0], X[:, 1], c=c, cmap=cmap, s=markersize, zorder=3, alpha=alpha)
         return X
+
+    @staticmethod
+    def ars(X, **kwargs):
+        """Attraction-Repulsion Swarming t-SNE embedding (static, reference
+        ``graph.py:1494-1609``).  See :func:`graphlearning_tpu.ars.ars`."""
+        from graphlearning_tpu.ars import ars as _ars
+
+        return _ars(X, **kwargs)

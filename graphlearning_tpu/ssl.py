@@ -1037,3 +1037,107 @@ class plaplace(ssl):
         return self.graph.plaplace(train_ind, train_labels.astype(float),
                                    self.p, max_num_it=self.max_num_it,
                                    tol=self.tol)
+
+
+# -- report generators (reference ssl.py:1837-2053) ------------------------
+
+
+def accuracy_plot(model_list, tag="", testerror=False, savefile=None,
+                  title=None, errorbars=False, loglog=False, ylim=None,
+                  fontsize=16, legend_fontsize=16, label_fontsize=16):
+    """Plot mean accuracy (or test error) vs number of labels for models
+    benchmarked with :meth:`ssl.ssl_trials` (reference ``ssl.py:1837-1923``)."""
+    import matplotlib
+    import matplotlib.pyplot as plt
+
+    if errorbars:
+        matplotlib.rcParams.update({"errorbar.capsize": 5})
+    matplotlib.rcParams.update({"font.size": fontsize})
+    styles = ["^b-", "or-", "dg-", "sk-", "pm-", "xc-", "*y-"]
+    plt.figure()
+    for i, model in enumerate(model_list):
+        num_train, acc_mean, acc_std, _ = model.trials_statistics(tag=tag)
+        y = 100 - acc_mean if testerror else acc_mean
+        style = styles[i % len(styles)]
+        if errorbars:
+            plt.errorbar(num_train, y, fmt=style, yerr=acc_std,
+                         label=model.name)
+        elif loglog:
+            plt.loglog(num_train, y, style, label=model.name)
+        else:
+            plt.plot(num_train, y, style, label=model.name)
+    plt.xlabel("Number of labels", fontsize=label_fontsize)
+    if testerror:
+        plt.ylabel("Test error (%)", fontsize=label_fontsize)
+        plt.legend(loc="upper right", fontsize=legend_fontsize)
+    else:
+        plt.ylabel("Accuracy (%)", fontsize=label_fontsize)
+        plt.legend(loc="lower right", fontsize=legend_fontsize)
+    if title is not None:
+        plt.title(title)
+    plt.tight_layout()
+    plt.grid(True)
+    if ylim is not None:
+        plt.ylim(ylim)
+    if savefile is not None:
+        plt.savefig(savefile)
+    else:
+        plt.show()
+
+
+def accuracy_table(model_list, tag="", savefile="table.tex", title="",
+                   fontsize="small", append=False, two_column=False,
+                   small_caps=True):
+    """Emit a LaTeX table of mean (std) accuracy per label count, bolding
+    the best model in each column (reference ``ssl.py:1925-2053``)."""
+    stats = [m.trials_statistics(tag=tag) for m in model_list]
+    num_train = stats[0][0]
+    ncols = len(num_train)
+    means = np.stack([s[1] for s in stats])          # (models, ncols)
+    stds = np.stack([s[2] for s in stats])
+    num_trials = int(stats[0][3][0])
+    best = np.argmax(means, axis=0)
+
+    env = "table*" if two_column else "table"
+    lines = []
+    if not append:
+        lines += [
+            "\\documentclass{article}",
+            "\\usepackage[T1]{fontenc}",
+            "\\usepackage{booktabs}",
+            "\\usepackage[margin=1in]{geometry}",
+            "\\begin{document}",
+        ]
+    lines += [
+        "", f"\\begin{{{env}}}[t!]", "\\vspace{-3mm}",
+        ("\\caption{%s: Average (standard deviation) classification "
+         "accuracy over %d trials.}" % (title, num_trials)),
+        "\\vspace{-3mm}", "\\label{tab:%s}" % title, "\\vskip 0.15in",
+        "\\begin{center}", f"\\begin{{{fontsize}}}",
+    ]
+    if small_caps:
+        lines.append("\\begin{sc}")
+    lines.append("\\begin{tabular}{l" + "l" * ncols + "}")
+    lines.append("\\toprule")
+    lines.append("\\# Labels" + "".join(
+        "&\\textbf{%d}" % int(m) for m in num_train) + "\\\\")
+    lines.append("\\midrule")
+    for i, model in enumerate(model_list):
+        row = model.name.ljust(15)
+        for j in range(ncols):
+            cell = "%.1f (%.1f)" % (means[i, j], stds[i, j])
+            row += "&{\\bf %s}" % cell if best[j] == i else "&%s      " % cell
+        lines.append(row + "\\\\")
+    lines += ["\\bottomrule", "\\end{tabular}"]
+    if small_caps:
+        lines.append("\\end{sc}")
+    lines += [f"\\end{{{fontsize}}}", "\\end{center}", "\\vskip -0.1in",
+              f"\\end{{{env}}}", "", "\\end{document}", ""]
+
+    if append and os.path.exists(savefile):
+        with open(savefile) as fh:
+            old = [ln for ln in fh.read().splitlines()
+                   if ln != "\\end{document}"]
+        lines = old + lines
+    with open(savefile, "w") as fh:
+        fh.write("\n".join(lines))

@@ -1,0 +1,74 @@
+"""Parity tests for the banded Pallas SpMM kernel (interpret mode on CPU).
+
+The kernel computes ``out[i] = sum_j vals[i,j] * X[cols[i,j]]`` for edges
+inside each row-block's window; ``spmm_banded_hybrid`` adds the residual.
+Compared against scipy CSR @ X (the reference utils.py:523 semantics).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.sparse as sp
+
+from conftest import random_knn_csr
+from graphlearning_tpu.core.sparse import SparseGraph
+from graphlearning_tpu.ops.pallas_spmm import (
+    banded_spmm, plan_banded, spmm_banded_hybrid)
+from graphlearning_tpu.parallel.shard import pad_graph_to
+
+
+def _banded_graph(n, k, bandwidth, seed=0):
+    """kNN-like graph whose columns stay within ``bandwidth`` of the row
+    (mimics an RCM-reordered kNN graph)."""
+    rs = np.random.RandomState(seed)
+    rows = np.repeat(np.arange(n), k)
+    off = rs.randint(-bandwidth, bandwidth + 1, size=n * k)
+    cols = np.clip(rows + off, 0, n - 1)
+    vals = rs.rand(n * k) + 0.1
+    W = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    W.setdiag(0)
+    W.eliminate_zeros()
+    return W
+
+
+@pytest.mark.parametrize("bandwidth", [100, 2000])
+def test_banded_hybrid_matches_scipy(bandwidth):
+    n, k, d = 1024, 8, 128
+    W = _banded_graph(n, k, bandwidth)
+    g = pad_graph_to(SparseGraph.from_scipy(W, dtype=jnp.float32), 512)
+    rs = np.random.RandomState(1)
+    X = rs.randn(n, d).astype(np.float32)
+
+    winstart, rrows, rslots, Wwin = plan_banded(np.asarray(g.cols), R=512)
+    plan = (winstart, jnp.asarray(rrows), jnp.asarray(rslots), Wwin)
+    out = spmm_banded_hybrid(
+        g, jnp.asarray(X), plan, R=512, interpret=True)
+    ref = W @ X.astype(np.float64)
+    np.testing.assert_allclose(np.asarray(out)[: n], ref, rtol=2e-4, atol=2e-4)
+
+
+def test_plan_auto_window_covers_band():
+    n, k = 2048, 8
+    W = _banded_graph(n, k, 300, seed=3)
+    g = pad_graph_to(SparseGraph.from_scipy(W, dtype=jnp.float32), 512)
+    winstart, rrows, rslots, Wwin = plan_banded(np.asarray(g.cols), R=512)
+    # auto window must cover a 300-wide band with (near-)zero residual
+    assert Wwin >= 1024
+    assert len(rrows) / (g.n * g.k) <= 0.002
+    assert np.all(winstart >= 0) and np.all(winstart + Wwin <= g.n)
+
+
+def test_random_graph_residual_fallback():
+    """A non-banded random graph: most edges land in the residual path —
+    hybrid must still match scipy exactly."""
+    n, k, d = 1024, 8, 128
+    W = random_knn_csr(n, k, seed=5, symmetrize=False)
+    g = pad_graph_to(SparseGraph.from_scipy(W, dtype=jnp.float32), 512)
+    rs = np.random.RandomState(2)
+    X = rs.randn(n, d).astype(np.float32)
+    winstart, rrows, rslots, Wwin = plan_banded(
+        np.asarray(g.cols), R=512, W=1024)
+    plan = (winstart, jnp.asarray(rrows), jnp.asarray(rslots), Wwin)
+    out = spmm_banded_hybrid(g, jnp.asarray(X), plan, R=512, interpret=True)
+    ref = W @ X.astype(np.float64)
+    np.testing.assert_allclose(np.asarray(out)[: n], ref, rtol=2e-4, atol=2e-4)

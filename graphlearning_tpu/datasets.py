@@ -12,6 +12,22 @@ import numpy as np
 
 from graphlearning_tpu import utils
 
+
+class _RefShim:
+    """Stand-in for reference ``graphlearning`` classes inside pickles:
+    captures the pickled ``__dict__`` (weight_matrix etc.) without needing
+    the reference package importable."""
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
+
+class _RefUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        if module.split(".")[0] == "graphlearning":
+            return _RefShim
+        return super().find_class(module, name)
+
 data_dir = os.path.abspath(os.path.join(os.getcwd(), "data"))
 
 _REFERENCE_DATA = "/root/reference/Data"
@@ -83,7 +99,7 @@ def load_graph(dataset):
         path = os.path.join(data_dir, fname)
         utils.download_file(_GITHUB + fname, path)
     with open(path, "rb") as fh:
-        obj = pickle.load(fh)
+        obj = _RefUnpickler(fh).load()
     if hasattr(obj, "weight_matrix"):
         return graph(obj.weight_matrix)
     if isinstance(obj, dict) and "W" in obj:

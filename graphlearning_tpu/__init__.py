@@ -19,6 +19,7 @@ from graphlearning_tpu.core.graphclass import graph
 from graphlearning_tpu import ops, solvers, utils, weightmatrix
 from graphlearning_tpu import ssl, clustering, active_learning
 from graphlearning_tpu import datasets, trainsets
+from graphlearning_tpu import observability, checkpoint
 
 __version__ = "0.1.0"
 
@@ -34,4 +35,6 @@ __all__ = [
     "active_learning",
     "datasets",
     "trainsets",
+    "observability",
+    "checkpoint",
 ]

@@ -74,6 +74,24 @@ class ssl:
         self.fit(train_ind, train_labels, all_labels=all_labels)
         return self.predict()
 
+    def fit_predict_batched(self, trainsets, labels):
+        """Fit many trials at once, returning a list of prediction arrays.
+
+        TPU-native replacement for the reference's joblib process pool
+        (``ssl.py:390-396``): when the model implements ``_fit_batched``
+        (mask-based solvers are directly vmappable) and all trials share a
+        size, every trial solves in ONE device program (trial axis batched
+        through vmap onto the MXU).  Falls back to a sequential loop."""
+        labels = np.asarray(labels)
+        trainsets = [np.asarray(t) for t in trainsets]
+        sizes = {len(t) for t in trainsets}
+        if (len(sizes) == 1 and self.class_priors is None
+                and not self.onevsrest and hasattr(self, "_fit_batched")):
+            preds = self._fit_batched(np.stack(trainsets), labels)
+            self.fitted = True
+            return [np.asarray(p) for p in preds]
+        return [self.fit_predict(t, labels[t]) for t in trainsets]
+
     # -- volume projection (reference ssl.py:172-209) ---------------------
 
     def volume_label_projection(self):
@@ -153,11 +171,22 @@ class ssl:
 
         if num_trials > 0:
             trainsets = trainsets[:num_trials]
+        trainsets = [np.asarray(t) for t in trainsets]
+
+        # group same-size trials so vmap-batched models solve each group in
+        # one device program (joblib replacement, see fit_predict_batched)
+        preds = [None] * len(trainsets)
+        by_size = {}
+        for i, t in enumerate(trainsets):
+            by_size.setdefault(len(t), []).append(i)
+        for idxs in by_size.values():
+            group_preds = self.fit_predict_batched(
+                [trainsets[i] for i in idxs], labels)
+            for i, p in zip(idxs, group_preds):
+                preds[i] = p
+
         results = []
-        for train_ind in trainsets:
-            train_ind = np.asarray(train_ind)
-            train_labels = labels[train_ind]
-            pred = self.fit_predict(train_ind, train_labels)
+        for train_ind, pred in zip(trainsets, preds):
             acc = ssl_accuracy(pred, labels, train_ind)
             results.append((len(train_ind), acc))
             if outfile is not None:
@@ -287,6 +316,54 @@ class laplace(ssl):
             u = u - np.mean(u, axis=0)
         return u
 
+    def _fit_batched(self, trainsets, labels):
+        """vmap-batched multi-trial Laplace solve: stacked boundary masks
+        (T, n) and values (T, n, k) through one vmapped masked CG.  Returns
+        (T, n) predicted labels.  Reweighting falls back (it rebuilds the
+        graph per trial)."""
+        if self.reweighting != "none":
+            return [self.fit_predict(t, np.asarray(labels)[t])
+                    for t in trainsets]
+        G = self.graph
+        n = G.num_nodes
+        labels = np.asarray(labels)
+        classes = np.unique(labels[labels >= 0])
+        k = len(classes)
+        remap = np.zeros(int(classes.max()) + 1, dtype=int)
+        remap[classes] = np.arange(k)
+
+        T = len(trainsets)
+        masks = np.zeros((T, n), dtype=bool)
+        bdy = np.zeros((T, n, k))
+        for t, train_ind in enumerate(trainsets):
+            masks[t, train_ind] = True
+            bdy[t, train_ind, remap[labels[train_ind]]] = 1.0
+
+        tau = np.broadcast_to(np.atleast_1d(self.tau), (n,)).astype(float)
+        matvec, diag = G.laplacian_op(self.normalization)
+        tau_j = jnp.asarray(tau, dtype=config.float_dtype())
+        order = self.order
+
+        def L(X):
+            Y = X
+            for _ in range(order):
+                Y = tau_j[:, None] * Y + matvec(Y)
+            return Y
+
+        Ldiag = (tau_j + diag) ** order
+        mean_shift = self.mean_shift
+
+        def solve_one(mask, b):
+            u = _cg.constrained_solve(L, Ldiag, mask, b, tol=self.tol,
+                                      max_iter=10**5)[0]
+            if mean_shift:
+                u = u - jnp.mean(u, axis=0)
+            return jnp.argmax(u, axis=1)
+
+        preds = jax.jit(jax.vmap(solve_one))(
+            jnp.asarray(masks), jnp.asarray(bdy, dtype=config.float_dtype()))
+        return classes[np.asarray(preds)]
+
 
 class randomwalk(ssl):
     """Lazy-random-walk learning (Zhou-Schölkopf; reference
@@ -391,6 +468,49 @@ class poisson(ssl):
         else:
             sys.exit("Invalid Poisson solver " + self.solver)
         return np.asarray(u)
+
+    def _fit_batched(self, trainsets, labels):
+        """vmap-batched multi-trial Poisson solve (conjugate_gradient
+        solver): stacked sources through one vmapped CG on the normalized
+        Laplacian.  Returns (T, n) predicted labels."""
+        labels = np.asarray(labels)
+        if self.solver != "conjugate_gradient":
+            return [self.fit_predict(t, labels[t]) for t in trainsets]
+        G = self.graph
+        n = G.num_nodes
+        W = G.weight_matrix.copy()
+        W.setdiag(0)
+        W.eliminate_zeros()
+        g = _graphmod.graph(W).sparse
+
+        classes = np.unique(labels[labels >= 0])
+        k = len(classes)
+        remap = np.zeros(int(classes.max()) + 1, dtype=int)
+        remap[classes] = np.arange(k)
+
+        T = len(trainsets)
+        sources = np.zeros((T, n, k))
+        for t, train_ind in enumerate(trainsets):
+            onehot = np.zeros((len(train_ind), k))
+            onehot[np.arange(len(train_ind)), remap[labels[train_ind]]] = 1.0
+            sources[t, train_ind] = onehot - onehot.mean(0)
+
+        deg = _ops.degree_vector(g)
+        s = 1.0 / jnp.sqrt(deg)
+
+        def Lnorm(X):
+            return X - s[:, None] * _ops.spmm(g, s[:, None] * X)
+
+        tol = self.tol
+
+        def solve_one(b):
+            v, _, _ = _cg.conjgrad(Lnorm, s[:, None] * b, tol=tol,
+                                   max_iter=10**5)
+            return jnp.argmax(s[:, None] * v, axis=1)
+
+        preds = jax.jit(jax.vmap(solve_one))(
+            jnp.asarray(sources, dtype=config.float_dtype()))
+        return classes[np.asarray(preds)]
 
 
 def _poisson_gradient_descent(g: SparseGraph, b, train_ind, min_iter, max_iter):

@@ -140,3 +140,37 @@ def test_ssl_trials_runner(moons, tmp_path):
     res = model.ssl_trials(trainsets, labels, overwrite=True)
     assert res.shape == (2, 2)
     assert res[:, 1].min() > 80.0
+
+
+def test_batched_trials_match_sequential(moons):
+    """fit_predict_batched (vmap trial batching, the joblib replacement)
+    must reproduce the per-trial sequential solves."""
+    W, X, labels, _ = moons
+    for model_cls in (gl.ssl.laplace, gl.ssl.poisson):
+        model = model_cls(W)
+        trainsets = [gl.trainsets.generate(labels, rate=3, seed=s)
+                     for s in range(4)]
+        batched = model.fit_predict_batched(trainsets, labels)
+        for t, pred in zip(trainsets, batched):
+            seq = model.fit_predict(np.asarray(t), labels[np.asarray(t)])
+            agree = np.mean(pred == seq)
+            assert agree > 0.99, agree
+
+
+def test_ssl_trials_mixed_sizes(moons, tmp_path):
+    """ssl_trials groups same-size trials for batching but must still emit
+    one CSV row per trial in order."""
+    W, X, labels, _ = moons
+    import graphlearning_tpu.ssl as sslm
+    old = sslm.results_dir
+    sslm.results_dir = str(tmp_path)
+    try:
+        ts = [gl.trainsets.generate(labels, rate=r, seed=s)
+              for s in range(3) for r in (2, 5)]
+        model = gl.ssl.laplace(W)
+        res = model.ssl_trials(ts, labels, overwrite=True)
+        assert res.shape == (6, 2)
+        assert np.array_equal(res[:, 0], [len(t) for t in ts])
+        assert np.all(res[:, 1] > 60)
+    finally:
+        sslm.results_dir = old

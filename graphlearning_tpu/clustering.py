@@ -137,14 +137,18 @@ class incres(clustering):
 
         @jax.jit
         def grow(F):
-            # F ← P F = W D^-1 F until every node is reached
-            def cond(F):
-                return jnp.min(F) == 0
+            # F ← P F = W D^-1 F until every node is reached; capped at n
+            # steps (graph diameter bound) so a disconnected graph cannot
+            # spin the while_loop forever (TPU watchdog)
+            def cond(state):
+                F, it = state
+                return jnp.logical_and(jnp.min(F) == 0, it < n)
 
-            def body(F):
-                return _ops.spmm(g, F / deg[:, None])
+            def body(state):
+                F, it = state
+                return _ops.spmm(g, F / deg[:, None]), it + 1
 
-            return jax.lax.while_loop(cond, body, F)
+            return jax.lax.while_loop(cond, body, (F, 0))[0]
 
         for i in range(self.T):
             F = np.zeros((n, k))

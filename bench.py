@@ -25,10 +25,12 @@ import numpy as np
 
 
 def main():
-    n = int(os.environ.get("GLT_BENCH_N", 1 << 20))
+    if os.environ.get("GLT_BENCH_MODE", "spmm") == "poisson":
+        return poisson_bench()
+    n = int(os.environ.get("GLT_BENCH_N", 1 << 18))
     k = int(os.environ.get("GLT_BENCH_K", 16))
     d = int(os.environ.get("GLT_BENCH_D", 128))
-    iters = int(os.environ.get("GLT_BENCH_ITERS", 20))
+    iters = int(os.environ.get("GLT_BENCH_ITERS", 50))
     use_pallas = os.environ.get("GLT_BENCH_PALLAS", "1") != "0"
 
     import jax
@@ -127,6 +129,72 @@ def main():
         "baseline_edges_per_sec": round(base_edges_per_s, 1),
     }
     print(json.dumps(result))
+
+
+def poisson_bench():
+    """North-star metric 2 (BASELINE.md): full Poisson-learning solve on an
+    MNIST-scale kNN graph (n=70000, 10 classes, 1 label/class) — device
+    solve time vs the reference compute path (scipy f64 CG on host) on the
+    SAME graph, with prediction agreement."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+    from scipy.spatial import cKDTree
+    import graphlearning_tpu as gl
+
+    n = int(os.environ.get("GLT_BENCH_N", 70000))
+    k = int(os.environ.get("GLT_BENCH_K", 10))
+    ncls = 10
+    rs = np.random.RandomState(0)
+    # synthetic 10-cluster point cloud (MNIST feature data is not available
+    # offline; graph statistics — n, k, cluster structure — match).  The
+    # cluster scale keeps the kNN graph CONNECTED: a disconnected graph
+    # makes the normalized Laplacian singular and stalls every CG variant
+    # (reference behaves identically).
+    centers = rs.randn(ncls, 20) * 1.0
+    labels = rs.randint(0, ncls, n)
+    pts = centers[labels] + rs.randn(n, 20)
+    W = gl.weightmatrix.knn(pts, k)
+    train_ind = gl.trainsets.generate(labels, rate=1, seed=0)
+
+    model = gl.ssl.poisson(W)
+    pred = model.fit_predict(train_ind, labels[train_ind])  # compile+warm
+    t0 = time.perf_counter()
+    pred = model.fit_predict(train_ind, labels[train_ind])
+    dt = time.perf_counter() - t0
+    acc = gl.ssl.ssl_accuracy(pred, labels, train_ind)
+
+    # reference path: scipy f64 CG on the normalized Laplacian (ssl.py:624-629)
+    import scipy.sparse.linalg as spla
+
+    W64 = model.graph.weight_matrix.astype(np.float64)
+    W64.setdiag(0)
+    W64.eliminate_zeros()
+    deg = np.asarray(W64.sum(1)).ravel()
+    s = 1.0 / np.sqrt(deg)
+    L = sp.eye(n) - sp.diags(s) @ W64 @ sp.diags(s)
+    onehot = np.zeros((len(train_ind), ncls))
+    onehot[np.arange(len(train_ind)), labels[train_ind]] = 1
+    b = np.zeros((n, ncls))
+    b[train_ind] = onehot - onehot.mean(0)
+    t0 = time.perf_counter()
+    u_ref = np.stack(
+        [spla.cg(L, s * b[:, c], rtol=1e-6)[0] for c in range(ncls)], axis=1
+    )
+    dt_ref = time.perf_counter() - t0
+    pred_ref = np.argmax(s[:, None] * u_ref, axis=1)
+    agree = float(np.mean(pred == pred_ref))
+
+    print(json.dumps({
+        "metric": "poisson_mnist_scale_solve_seconds",
+        "value": round(dt, 4),
+        "unit": "s",
+        "vs_baseline": round(dt_ref / dt, 3),
+        "config": {"n": n, "k": k, "accuracy_pct": round(float(acc), 2),
+                   "agreement_with_reference_path": round(agree, 4),
+                   "reference_seconds": round(dt_ref, 4),
+                   "backend": jax.default_backend()},
+    }))
 
 
 if __name__ == "__main__":

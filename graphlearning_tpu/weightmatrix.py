@@ -85,22 +85,128 @@ def _brute_knn_device(X, k, similarity="euclidean", chunk_size=2048):
     return np.concatenate(inds), np.concatenate(dists)
 
 
+def _ivf_knn_device(X, k, num_clusters=None, num_probe=16, kmeans_iters=10,
+                    seed=0):
+    """Approximate kNN via inverted-file (IVF) search, all on device —
+    the TPU-native replacement for the reference's annoy ANN path
+    (``weightmatrix.py:361-407``): tree traversal is pointer-chasing; IVF is
+    matmul + top_k with fixed shapes.
+
+    1. coarse k-means (chunked MXU assign + segment-sum update, fixed
+       iteration count);
+    2. queries grouped by home cluster — every query in cluster c scans the
+       members of c's ``num_probe`` nearest clusters (fixed-size padded
+       member tables, so the whole search is one vmapped program);
+    3. exact distances to all candidates, top_k re-rank.
+
+    Returns (ind, dist) with self included, like the brute path.  Recall
+    depends on num_probe (≈1.0 at 8-16 probes for kNN-graph workloads).
+    """
+    dtype = np.float64 if config.float_dtype() == jnp.float64 else np.float32
+    Xn = np.asarray(X, dtype=dtype)
+    n, d = Xn.shape
+    k = min(k, n)
+    # ~64 points per cluster: probing p clusters then scans ~64p exact
+    # candidates per query — high recall at a small fraction of brute cost
+    C = int(num_clusters or max(8, min(4096, n // 64)))
+    C = min(C, n)
+    p = int(min(num_probe, C))
+    Xd = jnp.asarray(Xn)
+    Xsq = jnp.sum(Xd * Xd, axis=1)
+
+    # -- coarse k-means (device) -------------------------------------------
+    rs = np.random.RandomState(seed)
+    cent = Xd[jnp.asarray(rs.choice(n, C, replace=False))]
+
+    @jax.jit
+    def assign(cent):
+        d2 = (Xsq[:, None] - 2.0 * Xd @ cent.T
+              + jnp.sum(cent * cent, axis=1)[None, :])
+        return jnp.argmin(d2, axis=1)
+
+    @jax.jit
+    def update(cent, a):
+        sums = jax.ops.segment_sum(Xd, a, num_segments=C)
+        cnts = jax.ops.segment_sum(jnp.ones((n,), Xd.dtype), a,
+                                   num_segments=C)
+        return jnp.where(cnts[:, None] > 0, sums / jnp.maximum(cnts, 1.0)[:, None],
+                         cent)
+
+    for _ in range(kmeans_iters):
+        cent = update(cent, assign(cent))
+    a = np.asarray(assign(cent))
+
+    # -- fixed-shape member tables (host, one-time) ------------------------
+    counts = np.bincount(a, minlength=C)
+    M = int(counts.max())
+    members = np.full((C, M), -1, np.int32)
+    slot = np.zeros(C, np.int64)
+    order = np.argsort(a, kind="stable")
+    for i in order:
+        c = a[i]
+        members[c, slot[c]] = i
+        slot[c] += 1
+
+    # probe lists: p nearest clusters of each cluster (by centroid distance)
+    cent_np = np.asarray(cent)
+    cd2 = ((cent_np[:, None, :] - cent_np[None, :, :]) ** 2).sum(-1)
+    probes = np.argsort(cd2, axis=1)[:, :p].astype(np.int32)     # (C, p)
+
+    members_j = jnp.asarray(members)
+    probes_j = jnp.asarray(probes)
+
+    # -- per-cluster search (vmapped, fixed shapes) -------------------------
+    def search_cluster(c):
+        q_idx = members_j[c]                                   # (M,) pad -1
+        cand = members_j[probes_j[c]].reshape(-1)              # (p*M,) pad -1
+        cand_valid = cand >= 0
+        cand_c = jnp.where(cand_valid, cand, 0)
+        Q = Xd[jnp.where(q_idx >= 0, q_idx, 0)]                # (M, d)
+        Cd = Xd[cand_c]                                        # (pM, d)
+        d2 = (jnp.sum(Q * Q, 1)[:, None] - 2.0 * Q @ Cd.T
+              + jnp.sum(Cd * Cd, 1)[None, :])
+        d2 = jnp.where(cand_valid[None, :], d2, jnp.inf)
+        score, local = jax.lax.top_k(-d2, k)
+        return q_idx, cand_c[local], jnp.sqrt(jnp.maximum(-score, 0.0))
+
+    ind_out = np.zeros((n, k), np.int64)
+    dist_out = np.zeros((n, k), dtype)
+    # batch clusters through vmap in groups to bound memory
+    G = max(1, int((1 << 27) // max(1, M * p * M * 4)))
+    searcher = jax.jit(jax.vmap(search_cluster))
+    for s in range(0, C, G):
+        cs = jnp.arange(s, min(s + G, C))
+        q_idx, idx, dist = searcher(cs)
+        q_idx = np.asarray(q_idx)
+        valid = q_idx >= 0
+        ind_out[q_idx[valid]] = np.asarray(idx)[valid]
+        dist_out[q_idx[valid]] = np.asarray(dist)[valid]
+    return ind_out, dist_out
+
+
 def knnsearch(X, k, method=None, similarity="euclidean", dataset=None, metric="raw"):
     """kNN search (reference ``weightmatrix.py:295-427``).
 
     method: 'kdtree' (host cKDTree, default for dim<=5), 'brute' (device
-    all-pairs matmul + top_k — the TPU path, default for dim>5), 'annoy'
-    (accepted for compatibility; routed to the device brute path, which is
-    exact and faster on accelerators than the reference's ANN loop)."""
+    all-pairs matmul + top_k — the TPU path, default for dim>5), 'ivf'
+    (device approximate inverted-file search — the ANN path for large n),
+    'annoy' (accepted for compatibility; routed to 'ivf', the TPU-native
+    approximate search replacing the reference's annoy trees)."""
     X = np.asarray(X)
     n, m = X.shape
     k = min(k, n)
     if method is None:
         method = "kdtree" if m <= 5 else "brute"
     if method == "annoy":
-        method = "brute"
+        method = "ivf"
 
-    if method == "kdtree":
+    if method == "ivf":
+        if similarity == "angular":
+            X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-30)
+        elif similarity != "euclidean":
+            sys.exit("ivf knnsearch supports euclidean/angular similarity")
+        knn_ind, knn_dist = _ivf_knn_device(X, k)
+    elif method == "kdtree":
         from scipy import spatial
 
         if similarity not in ("euclidean", "angular"):

@@ -96,3 +96,34 @@ def test_knn_graph_device(X):
     np.testing.assert_allclose(
         np.asarray(g.to_scipy().todense()), np.asarray(W.todense()), rtol=1e-5, atol=1e-7
     )
+
+
+def test_ivf_knn_high_recall():
+    """IVF approximate kNN must reach near-perfect recall vs brute force
+    on a realistic clustered-embedding workload (the annoy replacement
+    contract; unstructured high-d Gaussians are IVF-hostile by nature)."""
+    from graphlearning_tpu.weightmatrix import knnsearch
+
+    rs = np.random.RandomState(3)
+    n, d, ncls = 4000, 30, 10
+    centers = rs.randn(ncls, d) * 2.0
+    labels = rs.randint(0, ncls, n)
+    X = centers[labels] + rs.randn(n, d) * 0.5
+    ind_b, dist_b = knnsearch(X, 10, method="brute")
+    ind_i, dist_i = knnsearch(X, 10, method="ivf")
+    recall = np.mean([
+        len(np.intersect1d(ind_b[i], ind_i[i])) / 10 for i in range(len(X))
+    ])
+    assert recall > 0.95, recall
+    # distances of the found neighbors are exact
+    hit = ind_i == ind_b
+    np.testing.assert_allclose(dist_i[hit], dist_b[hit], rtol=1e-5, atol=1e-5)
+
+
+def test_annoy_routes_to_ivf(X):
+    from graphlearning_tpu.weightmatrix import knnsearch
+
+    ind, dist = knnsearch(X, 5, method="annoy")
+    assert ind.shape == (len(X), 5)
+    # self is its own nearest neighbor at distance 0
+    np.testing.assert_array_equal(ind[:, 0], np.arange(len(X)))

@@ -67,12 +67,17 @@ def main():
             from graphlearning_tpu.ops.pallas_spmm import (
                 plan_banded, spmm_banded_hybrid)
 
-            R = 512
-            gp = pad_graph_to(g, 1024)  # lcm(R, WT)
+            R, WT = 512, 1024
+            tuned = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "scripts", "spmm_tuned.json")
+            if os.path.exists(tuned):
+                best = json.load(open(tuned))["best"]
+                R, WT = int(best["R"]), int(best["WT"])
+            gp = pad_graph_to(g, max(R, WT))
             if gp.n != g.n:
                 X = jnp.pad(X, ((0, gp.n - g.n), (0, 0)))
             winstart, rrows, rslots, Wwin = plan_banded(
-                np.asarray(gp.cols), R=R)
+                np.asarray(gp.cols), R=R, WT=WT)
             plan = (winstart, jnp.asarray(rrows), jnp.asarray(rslots))
             residual_frac = len(rrows) / (gp.n * gp.k)
 
@@ -81,7 +86,7 @@ def main():
             # Wwin is a static shape parameter → closure is fine.
             _hybrid = jax.jit(
                 lambda g_, plan_, X: spmm_banded_hybrid(
-                    g_, X, (*plan_, Wwin), W=Wwin, R=R)
+                    g_, X, (*plan_, Wwin), W=Wwin, R=R, WT=WT)
             )
             fn = lambda X: _hybrid(gp, plan, X)
             pallas_ok = True

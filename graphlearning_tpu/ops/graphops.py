@@ -135,22 +135,22 @@ def build_mirror(g: SparseGraph):
     Entries without a mirror map to themselves with a zero flag."""
     import numpy as np
 
-    cols = np.asarray(g.cols)
+    cols = np.asarray(g.cols).astype(np.int64)
     deg = np.asarray(g.deg)
     n, k = g.n, g.k
-    pos = {}
-    for i in range(n):
-        for s in range(deg[i]):
-            pos[(i, int(cols[i, s]))] = i * k + s
-    mirror = np.arange(n * k, dtype=np.int64).reshape(n, k)
-    has = np.zeros((n, k), dtype=bool)
-    for i in range(n):
-        for s in range(deg[i]):
-            j = int(cols[i, s])
-            m = pos.get((j, i))
-            if m is not None:
-                mirror[i, s] = m
-                has[i, s] = True
+    rows = np.repeat(np.arange(n, dtype=np.int64)[:, None], k, axis=1)
+    valid = np.arange(k)[None, :] < deg[:, None]
+    # unique int64 key per stored (i, j); invalid slots get key -1 (never
+    # matched: mirror keys are >= 0)
+    key = np.where(valid, rows * n + cols, -1).reshape(-1)
+    mkey = np.where(valid, cols * n + rows, -2).reshape(-1)
+    order = np.argsort(key, kind="stable")
+    sorted_key = key[order]
+    pos = np.searchsorted(sorted_key, mkey)
+    pos = np.clip(pos, 0, n * k - 1)
+    found = sorted_key[pos] == mkey
+    mirror = np.where(found, order[pos], np.arange(n * k)).reshape(n, k)
+    has = found.reshape(n, k)
     return jnp.asarray(mirror.astype(np.int32)), jnp.asarray(has)
 
 

@@ -1,4 +1,5 @@
-from graphlearning_tpu.parallel.mesh import make_mesh, node_sharding, replicated
+from graphlearning_tpu.parallel.mesh import (
+    make_mesh, node_sharding, replicated, initialize_distributed)
 from graphlearning_tpu.parallel.shard import (
     pad_graph_to,
     shard_graph,
@@ -9,6 +10,7 @@ from graphlearning_tpu.parallel.shard import (
 
 __all__ = [
     "make_mesh",
+    "initialize_distributed",
     "node_sharding",
     "replicated",
     "pad_graph_to",

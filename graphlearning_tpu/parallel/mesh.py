@@ -33,3 +33,24 @@ def node_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def initialize_distributed(coordinator_address=None, num_processes=None,
+                           process_id=None):
+    """Multi-host initialization (``jax.distributed.initialize`` wrapper).
+
+    Call once per host before building meshes on a multi-host pod slice; all
+    arguments auto-detect on TPU pods (GCE metadata).  No-op if already
+    initialized or single-process.  The reference has no distributed
+    runtime at all (SURVEY.md §2.3) — this, plus mesh shardings, is the
+    framework's entire communication layer: XLA/GSPMD emits the ICI/DCN
+    collectives."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already initialized
+        if "already" not in str(e).lower():
+            raise

@@ -54,6 +54,9 @@ def main():
     W = (W + W.T) / 2
     perm = np.asarray(reverse_cuthill_mckee(W, symmetric_mode=True))
     W = W[perm, :][:, perm].tocsr()
+    # row-stochastic scaling keeps chained iterates bounded (no f32 overflow)
+    W = sp.diags(1.0 / np.asarray(W.sum(1)).ravel()) @ W
+    W = W.tocsr()
     nnz = W.nnz
 
     g = SparseGraph.from_scipy(W, dtype=jnp.float32)
@@ -67,26 +70,30 @@ def main():
             from graphlearning_tpu.ops.pallas_spmm import (
                 plan_banded, spmm_banded_hybrid)
 
-            R, WT = 512, 1024
+            R, WT, mode, max_res = 256, 512, "f32", 0.002
             tuned = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "scripts", "spmm_tuned.json")
             if os.path.exists(tuned):
                 best = json.load(open(tuned))["best"]
                 R, WT = int(best["R"]), int(best["WT"])
+                mode = best.get("mode", "f32")
+                max_res = float(best.get("max_residual", 0.002))
             gp = pad_graph_to(g, max(R, WT))
             if gp.n != g.n:
                 X = jnp.pad(X, ((0, gp.n - g.n), (0, 0)))
-            winstart, rrows, rslots, Wwin = plan_banded(
-                np.asarray(gp.cols), R=R, WT=WT)
+            winstart, rrows, rslots, Wwin, kcap = plan_banded(
+                np.asarray(gp.cols), R=R, WT=WT, max_residual=max_res,
+                deg=np.asarray(gp.deg))
             plan = (winstart, jnp.asarray(rrows), jnp.asarray(rslots))
-            residual_frac = len(rrows) / (gp.n * gp.k)
+            residual_frac = len(rrows) / max(1, nnz)
 
             # arrays must be jit ARGUMENTS: closed-over constants are
             # serialized into the remote-compile payload (HTTP 413).
-            # Wwin is a static shape parameter → closure is fine.
+            # Wwin/kcap are static shape parameters → closure is fine.
             _hybrid = jax.jit(
                 lambda g_, plan_, X: spmm_banded_hybrid(
-                    g_, X, (*plan_, Wwin), W=Wwin, R=R, WT=WT)
+                    g_, X, (*plan_, Wwin, kcap), W=Wwin, R=R, WT=WT,
+                    mode=mode)
             )
             fn = lambda X: _hybrid(gp, plan, X)
             pallas_ok = True
@@ -97,13 +104,17 @@ def main():
         _spmm = jax.jit(ops.spmm)
         fn = lambda X: _spmm(g, X)
 
+    # Timing note: on tunneled/remote platforms block_until_ready() can
+    # return before execution finishes (measured: reports 1000x too fast).
+    # Ground truth = time from dispatch to a VALUE arriving on host, so the
+    # timed region ends with a tiny device->host fetch of a slice of Y.
     out = fn(X)
-    out.block_until_ready()  # compile + warm up
+    float(jnp.sum(out[0]))  # compile + warm up, forced to completion
     t0 = time.perf_counter()
     Y = X
     for _ in range(iters):
         Y = fn(Y)  # chained: forces sequential real execution
-    Y.block_until_ready()
+    float(jnp.sum(Y[0]))  # forces completion; 4-byte transfer
     dt = time.perf_counter() - t0
     edges_per_s = nnz * iters / dt
 
@@ -129,6 +140,8 @@ def main():
             "kernel": "pallas_banded_hybrid" if pallas_ok else "xla_gather",
             "residual_frac": round(float(residual_frac), 5),
             "window": int(Wwin) if pallas_ok else 0,
+            "mode": mode if pallas_ok else "",
+            "kcap": int(kcap) if pallas_ok else 0,
             "baseline": "scipy CSR SpMM f64 host",
         },
         "baseline_edges_per_sec": round(base_edges_per_s, 1),

@@ -31,6 +31,9 @@ def _load():
     lib = ctypes.CDLL(_so)
     lib.dijkstra_oracle.restype = None
     lib.peikonal_oracle.restype = None
+    lib.peikonal_fmm_oracle.restype = None
+    lib.lip_iterate_oracle.restype = None
+    lib.auction_oracle.restype = None
     _lib = lib
     return lib
 
@@ -109,3 +112,100 @@ def peikonal_host(W, bdy_set, bdy_val=0, f=1, p=1.0, max_num_it=10**5,
         u.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return u
+
+
+def peikonal_fmm_host(W, bdy_set, bdy_val=0, f=1, p=1.0,
+                      num_bisection_it=30):
+    """Exact serial fast-marching p-eikonal oracle (heap-ordered
+    single-pass; reference intent ``c_code/hjsolvers.cpp:342-420``)."""
+    indptr, indices, data, n = _csr_parts(W)
+    bdy_set = np.ascontiguousarray(np.asarray(bdy_set), dtype=np.int32)
+    m = len(bdy_set)
+    if np.isscalar(bdy_val) or np.ndim(bdy_val) == 0:
+        bdy_val = np.full(m, float(bdy_val))
+    bdy_val = np.ascontiguousarray(bdy_val, dtype=np.float64)
+    if np.isscalar(f) or np.ndim(f) == 0:
+        f = np.full(n, float(f))
+    f = np.ascontiguousarray(f, dtype=np.float64)
+    u = np.full(n, np.inf)
+    lib = _load()
+    lib.peikonal_fmm_oracle(
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int32(n),
+        bdy_set.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        bdy_val.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int32(m),
+        f.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_double(p),
+        ctypes.c_int32(num_bisection_it),
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return u
+
+
+def lip_iterate_host(W, bdy_set, bdy_val, alpha=0.0, beta=1.0,
+                     weighted=False, max_num_it=10**5, tol=1e-6,
+                     num_bisection_it=30):
+    """Exact serial Gauss-Seidel AMLE / game-theoretic p-Laplace oracle
+    (reference intent ``c_code/lp_iterate.cpp:129-259``).  weighted=True
+    solves ``min_j w(t-u_j) + max_j w(t-u_j) = 0`` per node by bisection;
+    otherwise ``u = alpha*avg + beta*(min+max)/2``."""
+    indptr, indices, data, n = _csr_parts(W)
+    bdy_set = np.ascontiguousarray(np.asarray(bdy_set), dtype=np.int32)
+    m = len(bdy_set)
+    if np.isscalar(bdy_val) or np.ndim(bdy_val) == 0:
+        bdy_val = np.full(m, float(bdy_val))
+    bdy_val = np.ascontiguousarray(np.asarray(bdy_val), dtype=np.float64)
+    u = np.zeros(n)
+    lib = _load()
+    lib.lip_iterate_oracle(
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int32(n),
+        bdy_set.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        bdy_val.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int32(m),
+        ctypes.c_double(alpha),
+        ctypes.c_double(beta),
+        ctypes.c_int32(1 if weighted else 0),
+        ctypes.c_int32(int(max_num_it)),
+        ctypes.c_double(tol),
+        ctypes.c_int32(num_bisection_it),
+        u.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return u
+
+
+def auction_host(a, target, fixed=None, eps0=None, eps_min=1e-6, scale=4.0):
+    """Volume-constrained assignment oracle: Bertsekas forward auction with
+    eps-scaling and per-class capacities (reference intent
+    ``c_code/mbo_convolution.cpp:248-316``).  Maximizes ``sum_i a[i, c_i]``
+    subject to exact class counts ``target`` (must sum to n).  ``fixed``
+    pins nodes (-1 = free).  Returns int32 labels."""
+    a = np.ascontiguousarray(np.asarray(a, dtype=np.float64))
+    n, kcls = a.shape
+    target = np.ascontiguousarray(np.asarray(target), dtype=np.int32)
+    assert target.sum() == n, (target.sum(), n)
+    if fixed is None:
+        fixed = np.full(n, -1, dtype=np.int32)
+    fixed = np.ascontiguousarray(np.asarray(fixed), dtype=np.int32)
+    if eps0 is None:
+        spread = float(a.max() - a.min()) if n else 1.0
+        eps0 = max(spread / 4.0, eps_min)
+    labels = np.full(n, -1, dtype=np.int32)
+    lib = _load()
+    lib.auction_oracle(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int32(n),
+        ctypes.c_int32(kcls),
+        target.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        fixed.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_double(eps0),
+        ctypes.c_double(eps_min),
+        ctypes.c_double(scale),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return labels

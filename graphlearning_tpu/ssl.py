@@ -625,6 +625,7 @@ def _volume_assignment(a, fixed_mask, fixed_labels, lower, upper, target,
     @jax.jit
     def run(a):
         scale = jnp.max(a) - jnp.min(a) + 1e-8
+        neg_big = jnp.asarray(jnp.finfo(a.dtype).min, a.dtype)
 
         def body(state):
             p, it, done = state
@@ -638,8 +639,11 @@ def _volume_assignment(a, fixed_mask, fixed_labels, lower, upper, target,
             under = jnp.maximum(lower - counts, 0.0)
             grad = (under - over) / n
             done = jnp.max(over + under) == 0
-            p = p + scale * 0.5 * grad
-            p = p - jnp.mean(p)
+            # freeze p once feasible so the post-loop argmax reproduces the
+            # feasible labeling (an extra step can break counts by one)
+            p_new = p + scale * 0.5 * grad
+            p_new = p_new - jnp.mean(p_new)
+            p = jnp.where(done, p, p_new)
             return p, it + 1, done
 
         def cond(state):
@@ -649,7 +653,32 @@ def _volume_assignment(a, fixed_mask, fixed_labels, lower, upper, target,
         p0 = jnp.zeros((k,), dtype=a.dtype)
         p, _, _ = jax.lax.while_loop(cond, body, (p0, 0, jnp.asarray(False)))
         labels = jnp.argmax(a + p[None, :], axis=1)
-        return jnp.where(fixed_mask, fixed_labels, labels)
+        labels = jnp.where(fixed_mask, fixed_labels, labels)
+
+        # exact-feasibility repair: the price ascent can stall one unit off
+        # (the serial auction in the reference is exact by construction).
+        # Each round moves one movable node from the most over-full class to
+        # the most under-full class, choosing the node losing least score.
+        def rcond(state):
+            labels, it = state
+            counts = jnp.sum(jax.nn.one_hot(labels, k, dtype=a.dtype), axis=0)
+            bad = jnp.logical_or(jnp.any(counts > upper),
+                                 jnp.any(counts < lower))
+            return jnp.logical_and(bad, it < n)
+
+        def rbody(state):
+            labels, it = state
+            counts = jnp.sum(jax.nn.one_hot(labels, k, dtype=a.dtype), axis=0)
+            co = jnp.argmax(counts - upper)   # most over-full
+            cu = jnp.argmax(lower - counts)   # most under-full
+            movable = jnp.logical_and(labels == co, ~fixed_mask)
+            margin = jnp.where(movable, a[:, cu] - a[:, co], neg_big)
+            i = jnp.argmax(margin)
+            labels = labels.at[i].set(cu.astype(labels.dtype))
+            return labels, it + 1
+
+        labels, _ = jax.lax.while_loop(rcond, rbody, (labels, 0))
+        return labels
 
     return run(a)
 

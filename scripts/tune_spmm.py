@@ -1,6 +1,14 @@
-"""Autotune the banded Pallas SpMM kernel: sweep (R, WT) on the real
-device over a representative RCM-reordered kNN graph, write the best
-config to scripts/spmm_tuned.json (bench.py picks it up when present).
+"""Autotune the banded Pallas SpMM kernel on the real device.
+
+Sweeps (R, WT, mode, max_residual) over a representative RCM-reordered kNN
+graph, measuring the FULL hybrid (Pallas banded kernel + XLA residual
+scatter) dispatch-to-value — on tunneled platforms block_until_ready() can
+return before execution completes, inflating throughput ~1000x.
+
+Writes the best config to scripts/spmm_tuned.json (bench.py picks it up):
+  best        — fastest with rel_err < 5e-5 (f32/bf16x3; CG-safe)
+  best_exact  — fastest with rel_err < 1e-6 (pure f32 path)
+  best_fast   — fastest overall (bf16 single-pass; diffusion/MBO-safe)
 
 Usage: python scripts/tune_spmm.py [n_exp] [k] [d]
 """
@@ -25,7 +33,9 @@ def main():
     import scipy.sparse as sp
     from scipy.spatial import cKDTree
     from scipy.sparse.csgraph import reverse_cuthill_mckee
-    from graphlearning_tpu.ops.pallas_spmm import plan_banded, banded_spmm
+    from graphlearning_tpu.core.sparse import SparseGraph
+    from graphlearning_tpu.ops.pallas_spmm import (plan_banded,
+                                                   spmm_banded_hybrid)
 
     rs = np.random.RandomState(0)
     pts = rs.rand(n, 2)
@@ -37,57 +47,73 @@ def main():
     W = (W + W.T) / 2
     perm = np.asarray(reverse_cuthill_mckee(W, symmetric_mode=True))
     W = W[perm][:, perm].tocsr()
-    deg = np.diff(W.indptr).astype(np.int32)
-    kmax = int(deg.max())
-    cols_np = np.repeat(np.arange(n, dtype=np.int32)[:, None], kmax, axis=1)
-    vals_np = np.zeros((n, kmax), np.float32)
-    r2 = np.repeat(np.arange(n), deg)
-    slot = np.arange(W.indptr[-1]) - np.repeat(W.indptr[:-1], deg)
-    cols_np[r2, slot] = W.indices
-    vals_np[r2, slot] = W.data
+    # row-stochastic: keeps chained iterates bounded during timing
+    W = (sp.diags(1.0 / np.asarray(W.sum(1)).ravel()) @ W).tocsr()
+    nnz = W.nnz
 
-    cols = jnp.asarray(cols_np)
-    vals = jnp.asarray(vals_np)
+    g = SparseGraph.from_scipy(W, dtype=jnp.float32)
+    deg_np = np.asarray(g.deg)
+    cols_np = np.asarray(g.cols)
     X = jnp.asarray(rs.randn(n, d).astype(np.float32))
     ref = W @ np.asarray(X, np.float64)
+    refmax = np.abs(ref).max()
 
     results = []
-    for R, WT in [(1024, 512), (512, 512), (512, 1024), (256, 512),
-                  (256, 256), (128, 512), (128, 256)]:
+    for R, WT in [(512, 1024), (512, 512), (256, 512), (256, 256),
+                  (512, 256), (128, 256)]:
         if n % max(R, WT):
             continue
-        try:
-            winstart, rr, _, Wwin = plan_banded(cols_np, R=R, WT=WT)
-            f = jax.jit(lambda c, v, ws, X, R=R, WT=WT, Wwin=Wwin:
-                        banded_spmm(c, v, ws, X, W=Wwin, R=R, WT=WT))
-            ws = jnp.asarray(winstart)
-            out = f(cols, vals, ws, X)
-            out.block_until_ready()
-            err = float(np.abs(np.asarray(out) - ref).max())
-            iters = 30
-            t0 = time.perf_counter()
-            Y = X
-            for _ in range(iters):
-                Y = f(cols, vals, ws, Y)
-            Y.block_until_ready()
-            eps = W.nnz * iters / (time.perf_counter() - t0)
-            results.append({"R": R, "WT": WT, "W": Wwin,
-                            "residual": int(len(rr)),
-                            "max_err": err, "edges_per_sec": eps})
-            print(f"R={R} WT={WT} W={Wwin} resid={len(rr)} err={err:.1e} "
-                  f"{eps:.3e} edges/s", flush=True)
-        except Exception as e:
-            print(f"R={R} WT={WT}: FAILED {type(e).__name__}: {e}",
-                  flush=True)
+        for max_res in (0.002, 0.02, 0.05, 0.10):
+            try:
+                winstart, rr, rsl, Wwin, kcap = plan_banded(
+                    cols_np, R=R, WT=WT, max_residual=max_res, deg=deg_np)
+            except Exception as e:
+                print(f"R={R} WT={WT} res={max_res}: plan FAILED {e}",
+                      flush=True)
+                continue
+            plan_dev = (jnp.asarray(winstart), jnp.asarray(rr),
+                        jnp.asarray(rsl))
+            for mode in ("f32", "bf16x3", "bf16"):
+                try:
+                    f = jax.jit(lambda g_, p_, X, R=R, WT=WT, Wwin=Wwin,
+                                kcap=kcap, mode=mode: spmm_banded_hybrid(
+                                    g_, X, (*p_, Wwin, kcap), W=Wwin, R=R,
+                                    WT=WT, mode=mode))
+                    out = f(g, plan_dev, X)
+                    err = float(np.abs(np.asarray(out) - ref).max() / refmax)
+                    iters = 10
+                    t0 = time.perf_counter()
+                    Y = X
+                    for _ in range(iters):
+                        Y = f(g, plan_dev, Y)
+                    float(jnp.sum(Y[0]))  # dispatch-to-value
+                    eps = nnz * iters / (time.perf_counter() - t0)
+                    rec = {"R": R, "WT": WT, "W": Wwin, "kcap": kcap,
+                           "mode": mode, "max_residual": max_res,
+                           "residual": int(len(rr)), "rel_err": err,
+                           "edges_per_sec": eps}
+                    results.append(rec)
+                    print(f"R={R} WT={WT} W={Wwin} kcap={kcap} mode={mode} "
+                          f"res={max_res} resid={len(rr)} err={err:.1e} "
+                          f"{eps:.3e} edges/s", flush=True)
+                except Exception as e:
+                    msg = str(e).split("\n")[0][:120]
+                    print(f"R={R} WT={WT} res={max_res} mode={mode}: FAILED "
+                          f"{type(e).__name__}: {msg}", flush=True)
     if not results:
         print("no config succeeded")
         return
-    best = max(results, key=lambda r: r["edges_per_sec"])
+    pick = lambda rs_: max(rs_, key=lambda r: r["edges_per_sec"]) if rs_ else None
+    best = pick([r for r in results if r["rel_err"] < 5e-5]) or pick(results)
+    best_exact = pick([r for r in results if r["rel_err"] < 1e-6])
+    best_fast = pick(results)
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "spmm_tuned.json")
     with open(out_path, "w") as fh:
-        json.dump({"best": best, "all": results,
-                   "graph": {"n": n, "k": k, "d": d}}, fh, indent=1)
+        json.dump({"best": best, "best_exact": best_exact,
+                   "best_fast": best_fast, "all": results,
+                   "graph": {"n": n, "k": k, "d": d, "nnz": int(nnz)}},
+                  fh, indent=1)
     print("best:", best, "->", out_path)
 
 

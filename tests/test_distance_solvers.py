@@ -152,3 +152,100 @@ def test_distance_matrix_small():
 
     Dref = scipy_dijkstra(W)
     np.testing.assert_allclose(D, Dref, rtol=1e-8, atol=1e-10)
+
+
+def test_peikonal_fmm_oracle_vs_gauss_seidel(pointcloud_graph):
+    """FMM and Gauss-Seidel host oracles converge to the same viscosity
+    solution (reference keeps both paths: hjsolvers.cpp:229-420)."""
+    X, W = pointcloud_graph
+    bdy = [0, 5]
+    u_gs = native.peikonal_host(W, bdy, p=1.0, tol=1e-10)
+    u_fmm = native.peikonal_fmm_host(W, bdy, p=1.0)
+    np.testing.assert_allclose(u_fmm, u_gs, rtol=1e-6, atol=1e-8)
+
+
+def test_peikonal_fmm_oracle_p2(pointcloud_graph):
+    X, W = pointcloud_graph
+    u_gs = native.peikonal_host(W, [0], p=2.0, tol=1e-10)
+    u_fmm = native.peikonal_fmm_host(W, [0], p=2.0)
+    np.testing.assert_allclose(u_fmm, u_gs, rtol=1e-3, atol=1e-4)
+
+
+def test_amle_device_vs_host_oracle(pointcloud_graph):
+    """Device Jacobi AMLE matches the serial Gauss-Seidel C++ oracle
+    (same monotone fixed point)."""
+    X, W = pointcloud_graph
+    g = SparseGraph.from_scipy(W)
+    bdy = np.array([0, 5, 50, 100])
+    gvals = np.array([0.0, 1.0, 0.5, -1.0])
+    from graphlearning_tpu.solvers import plaplace as pl
+
+    for weighted in (False, True):
+        u_dev = pl.amle(g, bdy, gvals, tol=1e-10, max_num_it=10**5,
+                        weighted=weighted)
+        u_host = native.lip_iterate_host(W, bdy, gvals, alpha=0.0, beta=1.0,
+                                         weighted=weighted, tol=1e-12)
+        np.testing.assert_allclose(u_dev, u_host, rtol=1e-4, atol=1e-5)
+
+
+def test_plaplace_fast_device_vs_host_oracle(pointcloud_graph):
+    X, W = pointcloud_graph
+    g = SparseGraph.from_scipy(W)
+    bdy = np.array([0, 5, 50, 100])
+    gvals = np.array([0.0, 1.0, 0.5, -1.0])
+    from graphlearning_tpu.solvers import plaplace as pl
+
+    p = 6.0
+    u_dev = pl.plaplace(g, bdy, gvals, p=p, fast=True)
+    alpha = 1.0 / (p - 1.0)
+    u_host = native.lip_iterate_host(W, bdy, gvals, alpha=alpha,
+                                     beta=1.0 - alpha, tol=1e-12)
+    np.testing.assert_allclose(u_dev, u_host, rtol=1e-3, atol=1e-4)
+
+
+def test_auction_oracle_optimality():
+    """The C++ auction oracle reaches the Hungarian optimum on expanded
+    slots, respects exact class counts and pinned nodes."""
+    rs = np.random.RandomState(4)
+    n, k = 40, 4
+    a = rs.rand(n, k)
+    target = np.array([10, 10, 10, 10], dtype=np.int32)
+    lab = native.auction_host(a, target, eps_min=1e-9)
+    assert (np.bincount(lab, minlength=k) == target).all()
+    from scipy.optimize import linear_sum_assignment
+
+    cost = -np.concatenate(
+        [np.tile(a[:, c:c + 1], (1, target[c])) for c in range(k)], axis=1)
+    ri, ci = linear_sum_assignment(cost)
+    opt = -cost[ri, ci].sum()
+    got = a[np.arange(n), lab].sum()
+    assert got >= opt - 1e-6
+
+    fixed = np.full(n, -1, dtype=np.int32)
+    fixed[:3] = 2
+    lab2 = native.auction_host(a, target, fixed=fixed, eps_min=1e-9)
+    assert (lab2[:3] == 2).all()
+    assert (np.bincount(lab2, minlength=k) == target).all()
+
+
+def test_device_volume_assignment_vs_auction_oracle():
+    """The device Jacobi auction (ssl._volume_assignment) attains the same
+    objective as the serial C++ auction oracle (within eps tolerance)."""
+    rs = np.random.RandomState(5)
+    n, k = 60, 3
+    a = rs.rand(n, k)
+    target = np.array([20, 20, 20], dtype=np.int32)
+    from graphlearning_tpu.ssl import _volume_assignment
+    import jax.numpy as jnp
+
+    fixed_mask = np.zeros(n, dtype=bool)
+    fixed_labels = np.zeros(n, dtype=np.int32)
+    lab_dev = np.asarray(_volume_assignment(
+        jnp.asarray(a), jnp.asarray(fixed_mask), jnp.asarray(fixed_labels),
+        jnp.asarray(target), jnp.asarray(target), jnp.asarray(target),
+    ))
+    lab_host = native.auction_host(a, target, eps_min=1e-9)
+    obj_dev = a[np.arange(n), lab_dev].sum()
+    obj_host = a[np.arange(n), lab_host].sum()
+    assert (np.bincount(lab_dev, minlength=k) == target).all()
+    assert obj_dev >= obj_host - 0.05 * abs(obj_host)

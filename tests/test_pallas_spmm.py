@@ -39,8 +39,9 @@ def test_banded_hybrid_matches_scipy(bandwidth):
     rs = np.random.RandomState(1)
     X = rs.randn(n, d).astype(np.float32)
 
-    winstart, rrows, rslots, Wwin = plan_banded(np.asarray(g.cols), R=512)
-    plan = (winstart, jnp.asarray(rrows), jnp.asarray(rslots), Wwin)
+    winstart, rrows, rslots, Wwin, kcap = plan_banded(
+        np.asarray(g.cols), R=512)
+    plan = (winstart, jnp.asarray(rrows), jnp.asarray(rslots), Wwin, kcap)
     out = spmm_banded_hybrid(
         g, jnp.asarray(X), plan, R=512, interpret=True)
     ref = W @ X.astype(np.float64)
@@ -51,7 +52,8 @@ def test_plan_auto_window_covers_band():
     n, k = 2048, 8
     W = _banded_graph(n, k, 300, seed=3)
     g = pad_graph_to(SparseGraph.from_scipy(W, dtype=jnp.float32), 512)
-    winstart, rrows, rslots, Wwin = plan_banded(np.asarray(g.cols), R=512)
+    winstart, rrows, rslots, Wwin, kcap = plan_banded(
+        np.asarray(g.cols), R=512)
     # auto window must cover a 300-wide band with (near-)zero residual
     assert Wwin >= 1024
     assert len(rrows) / (g.n * g.k) <= 0.002
@@ -66,9 +68,53 @@ def test_random_graph_residual_fallback():
     g = pad_graph_to(SparseGraph.from_scipy(W, dtype=jnp.float32), 512)
     rs = np.random.RandomState(2)
     X = rs.randn(n, d).astype(np.float32)
-    winstart, rrows, rslots, Wwin = plan_banded(
+    winstart, rrows, rslots, Wwin, kcap = plan_banded(
         np.asarray(g.cols), R=512, W=1024)
-    plan = (winstart, jnp.asarray(rrows), jnp.asarray(rslots), Wwin)
+    plan = (winstart, jnp.asarray(rrows), jnp.asarray(rslots), Wwin, kcap)
     out = spmm_banded_hybrid(g, jnp.asarray(X), plan, R=512, interpret=True)
     ref = W @ X.astype(np.float64)
     np.testing.assert_allclose(np.asarray(out)[: n], ref, rtol=2e-4, atol=2e-4)
+
+
+def test_kcap_degree_skew_to_residual():
+    """Degree-capped planning: overflow slots route to the residual and the
+    hybrid still matches scipy (SURVEY.md §7.3 'row-bucketing or ELL+COO
+    hybrid')."""
+    n, k, d = 1024, 6, 128
+    W = _banded_graph(n, k, 150, seed=7)
+    # inject degree skew: a few hub rows with many extra edges
+    import scipy.sparse as sp
+    rs = np.random.RandomState(8)
+    hubs = rs.choice(n, 10, replace=False)
+    extra_r = np.repeat(hubs, 40)
+    extra_c = rs.randint(0, n, len(extra_r))
+    E = sp.coo_matrix((rs.rand(len(extra_r)), (extra_r, extra_c)),
+                      shape=(n, n))
+    W = (W + E).tocsr()
+    W.setdiag(0)
+    W.eliminate_zeros()
+    g = pad_graph_to(SparseGraph.from_scipy(W, dtype=jnp.float32), 512)
+    winstart, rrows, rslots, Wwin, kcap = plan_banded(
+        np.asarray(g.cols), R=512, max_residual=0.05, deg=np.asarray(g.deg))
+    assert kcap < g.k  # the hub tail must have been capped
+    plan = (winstart, jnp.asarray(rrows), jnp.asarray(rslots), Wwin, kcap)
+    X = np.random.RandomState(9).randn(n, d).astype(np.float32)
+    out = spmm_banded_hybrid(g, jnp.asarray(X), plan, R=512, interpret=True)
+    ref = W @ X.astype(np.float64)
+    np.testing.assert_allclose(np.asarray(out)[:n], ref, rtol=2e-4, atol=2e-4)
+
+
+def test_bf16x3_mode_accuracy():
+    """Manual 3-pass bf16 split: ~1e-5 relative error vs exact."""
+    n, k, d = 1024, 8, 128
+    W = _banded_graph(n, k, 100, seed=11)
+    g = pad_graph_to(SparseGraph.from_scipy(W, dtype=jnp.float32), 512)
+    X = np.random.RandomState(12).randn(n, d).astype(np.float32)
+    winstart, rrows, rslots, Wwin, kcap = plan_banded(
+        np.asarray(g.cols), R=512)
+    plan = (winstart, jnp.asarray(rrows), jnp.asarray(rslots), Wwin, kcap)
+    out = spmm_banded_hybrid(g, jnp.asarray(X), plan, R=512, interpret=True,
+                             mode="bf16x3")
+    ref = W @ X.astype(np.float64)
+    err = np.abs(np.asarray(out)[:n] - ref).max() / np.abs(ref).max()
+    assert err < 5e-5, err

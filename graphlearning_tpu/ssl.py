@@ -21,8 +21,47 @@ import numpy as np
 from graphlearning_tpu import config, utils
 from graphlearning_tpu.core import graphclass as _graphmod
 from graphlearning_tpu.core.sparse import SparseGraph
+from graphlearning_tpu.ops import accel as _accel
 from graphlearning_tpu.ops import graphops as _ops
 from graphlearning_tpu.solvers import cg as _cg
+
+import functools
+
+
+# Module-level jitted solver entry points: stable function identities mean
+# repeated fits (ssl_trials, active-learning refits) hit the jit cache
+# instead of retracing a fresh closure every call.
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _cg_scaled_solve(g, s, b, c0, c1, tol, max_iter=10**5):
+    """CG solve of ``(c0 I - c1 diag(s) W diag(s)) x = b``."""
+
+    def A(X):
+        return c0 * X - c1 * s[:, None] * _ops.spmm(g, s[:, None] * X)
+
+    x, _, _ = _cg.conjgrad(A, b, tol=tol, max_iter=max_iter)
+    return x
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("normalization", "order", "max_iter"))
+def _laplace_constrained(g, tau, mask, bdy, tol, normalization="combinatorial",
+                         order=1, max_iter=10**5):
+    """Masked CG solve of ``(tau + L)^order u = 0`` with ``u=bdy`` on mask."""
+    deg = _ops.degree_vector(g)
+
+    def L(X):
+        Y = X
+        for _ in range(order):
+            Y = tau[:, None] * Y + _ops.laplacian_matvec(
+                g, Y, normalization=normalization, deg=deg)
+        return Y
+
+    diag = _ops.laplacian_diag(g, normalization=normalization, deg=deg)
+    Ldiag = (tau + diag) ** order
+    u, _, _ = _cg.constrained_solve(L, Ldiag, mask, bdy, tol=tol,
+                                    max_iter=max_iter)
+    return u
 
 results_dir = os.path.abspath(os.path.join(os.getcwd(), "results"))
 
@@ -55,6 +94,22 @@ class ssl:
             self.graph = W
         else:
             self.graph = _graphmod.graph(W)
+        # invalidate per-graph solver caches (accel plan, zero-diag graph)
+        self._accel_cache = None
+        self._nodiag_cache = None
+
+    def _nodiag_graph(self):
+        """Zero-diagonal copy of the model's graph (reference
+        ``ssl.py:614-617``), cached so repeated fits skip the scipy
+        rebuild + host->device transfer."""
+        cached = getattr(self, "_nodiag_cache", None)
+        if cached is None:
+            W = self.graph.weight_matrix.copy()
+            W.setdiag(0)
+            W.eliminate_zeros()
+            cached = (W, _graphmod.graph(W))
+            self._nodiag_cache = cached
+        return cached
 
     # -- prediction (reference ssl.py:230-266) ----------------------------
 
@@ -292,25 +347,36 @@ class laplace(ssl):
         bdy_values[train_ind] = F
 
         tau = np.broadcast_to(np.atleast_1d(self.tau), (n,)).astype(float)
-        matvec, diag = G.laplacian_op(self.normalization)
         tau_j = jnp.asarray(tau, dtype=config.float_dtype())
         order = self.order
 
-        def L(X):
-            Y = X
-            for _ in range(order):
-                Y = tau_j[:, None] * Y + matvec(Y)
-            return Y
-
-        # diag of (tau + L)^order approximated by (tau + diag L)^order for
-        # the Jacobi preconditioner (preconditioner quality only)
-        Ldiag = (tau_j + diag) ** order
-
-        u, iters, res = _cg.constrained_solve(
-            L, Ldiag, jnp.asarray(mask),
-            jnp.asarray(bdy_values, dtype=config.float_dtype()),
-            tol=self.tol, max_iter=10**5,
-        )
+        acc = None
+        if self.normalization in ("combinatorial", "randomwalk",
+                                  "normalized"):
+            acc = _accel.maybe_build(
+                G.weight_matrix,
+                cache_obj=self if self.reweighting == "none" else None)
+        bdy_j = jnp.asarray(bdy_values, dtype=config.float_dtype())
+        if acc is not None:
+            # banded-Pallas fast path in RCM-permuted space; padding rows
+            # are identity (diag 1, tau 0, unlabeled, rhs 0).  The Jacobi
+            # diag of (tau + L)^order uses (tau + diag L)^order — same
+            # approximation as the plain path (preconditioner quality only).
+            deg_p = acc.to_perm(_ops.degree_vector(G.sparse))
+            diag_p = acc.to_perm(
+                _ops.laplacian_diag(G.sparse,
+                                    normalization=self.normalization),
+                fill=1.0)
+            u = acc.laplace_constrained(
+                deg_p, diag_p, acc.to_perm(tau_j),
+                acc.to_perm(jnp.asarray(mask, dtype=jnp.int32)) > 0,
+                acc.to_perm(bdy_j), self.tol,
+                normalization=self.normalization, order=order)
+            u = acc.from_perm(u)
+        else:
+            u = _laplace_constrained(
+                G.sparse, tau_j, jnp.asarray(mask), bdy_j, self.tol,
+                normalization=self.normalization, order=order)
         u = np.asarray(u)
         if self.mean_shift:
             u = u - np.mean(u, axis=0)
@@ -389,13 +455,13 @@ class randomwalk(ssl):
         tau = self.tau
 
         s = 1.0 / jnp.sqrt(deg)
-
-        def A(X):
-            return (1 + tau) * X - alpha * s[:, None] * _ops.spmm(g, s[:, None] * X)
-
-        u, _, _ = _cg.conjgrad(
-            A, jnp.asarray(F, dtype=config.float_dtype()), tol=1e-10, max_iter=10**5
-        )
+        F_j = jnp.asarray(F, dtype=config.float_dtype())
+        acc = _accel.maybe_build(G.weight_matrix, cache_obj=self)
+        if acc is not None:
+            u = acc.cg_scaled(acc.to_perm(s), acc.to_perm(F_j),
+                              c0=1.0 + tau, c1=alpha, tol=1e-10)
+            return np.asarray(acc.from_perm(u))
+        u = _cg_scaled_solve(g, s, F_j, 1.0 + tau, alpha, 1e-10)
         return np.asarray(u)
 
 
@@ -428,11 +494,8 @@ class poisson(ssl):
         n = G.num_nodes
         k = len(np.unique(train_labels))
 
-        # zero diagonal for faster convergence (ssl.py:614-617)
-        W = G.weight_matrix.copy()
-        W.setdiag(0)
-        W.eliminate_zeros()
-        G0 = _graphmod.graph(W)
+        # zero diagonal for faster convergence (ssl.py:614-617); cached
+        W, G0 = self._nodiag_graph()
         g = G0.sparse
 
         onehot = utils.labels_to_onehot(train_labels, k)
@@ -444,12 +507,18 @@ class poisson(ssl):
 
         if self.solver == "conjugate_gradient":
             s = 1.0 / jnp.sqrt(deg)
-
-            def Lnorm(X):
-                return X - s[:, None] * _ops.spmm(g, s[:, None] * X)
-
-            v, _, _ = _cg.conjgrad(Lnorm, s[:, None] * b, tol=self.tol, max_iter=10**5)
-            u = s[:, None] * v
+            acc = _accel.maybe_build(W, cache_obj=self)
+            if acc is not None:
+                # banded-Pallas fast path: solve in RCM-permuted space
+                # (padding rows have s=0 → identity rows with zero rhs)
+                s_p = acc.to_perm(s)
+                v = acc.cg_scaled(s_p, s_p[:, None] * acc.to_perm(b),
+                                  tol=self.tol)
+                u = acc.from_perm(s_p[:, None] * v)
+            else:
+                v = _cg_scaled_solve(g, s, s[:, None] * b, 1.0, 1.0,
+                                     self.tol)
+                u = s[:, None] * v
         elif self.solver == "gradient_descent":
             u = np.asarray(
                 _poisson_gradient_descent(
@@ -478,10 +547,8 @@ class poisson(ssl):
             return [self.fit_predict(t, labels[t]) for t in trainsets]
         G = self.graph
         n = G.num_nodes
-        W = G.weight_matrix.copy()
-        W.setdiag(0)
-        W.eliminate_zeros()
-        g = _graphmod.graph(W).sparse
+        W, G0 = self._nodiag_graph()
+        g = G0.sparse
 
         classes = np.unique(labels[labels >= 0])
         k = len(classes)

@@ -58,12 +58,16 @@ def main():
     ref = W @ np.asarray(X, np.float64)
     refmax = np.abs(ref).max()
 
+    # Sweep kept small on purpose: every distinct (W, kcap, mode, residual
+    # size) recompiles through the remote-compile tunnel (~25s each).
     results = []
-    for R, WT in [(512, 1024), (512, 512), (256, 512), (256, 256),
-                  (512, 256), (128, 256)]:
+    grid = [(256, 512), (256, 256)]
+    if os.environ.get("GLT_TUNE_WIDE"):
+        grid += [(512, 1024), (512, 512), (512, 256), (128, 256)]
+    for R, WT in grid:
         if n % max(R, WT):
             continue
-        for max_res in (0.002, 0.02, 0.05, 0.10):
+        for max_res in (0.002, 0.05):
             try:
                 winstart, rr, rsl, Wwin, kcap = plan_banded(
                     cols_np, R=R, WT=WT, max_residual=max_res, deg=deg_np)

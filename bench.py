@@ -68,13 +68,19 @@ def main():
         try:
             from graphlearning_tpu.parallel.shard import pad_graph_to
             from graphlearning_tpu.ops.pallas_spmm import (
-                plan_banded, spmm_banded_hybrid)
+                materialize_band, plan_banded, spmm_band_hybrid,
+                spmm_banded_hybrid)
 
-            R, WT, mode, max_res = 256, 512, "f32", 0.002
+            use_band = (os.environ.get("GLT_BENCH_BAND", "1") != "0"
+                        and n * 5120 * 4 <= 8e9)
+            R, WT, mode, max_res = ((512, 512, "bf16x3", 0.002) if use_band
+                                    else (256, 512, "f32", 0.002))
             tuned = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "scripts", "spmm_tuned.json")
             if os.path.exists(tuned):
-                best = json.load(open(tuned))["best"]
+                cfg = json.load(open(tuned))
+                best = (cfg.get("best_band") if use_band else None) \
+                    or cfg["best"]
                 R, WT = int(best["R"]), int(best["WT"])
                 mode = best.get("mode", "f32")
                 max_res = float(best.get("max_residual", 0.002))
@@ -90,12 +96,41 @@ def main():
             # arrays must be jit ARGUMENTS: closed-over constants are
             # serialized into the remote-compile payload (HTTP 413).
             # Wwin/kcap are static shape parameters → closure is fine.
-            _hybrid = jax.jit(
-                lambda g_, plan_, X: spmm_banded_hybrid(
-                    g_, X, (*plan_, Wwin, kcap), W=Wwin, R=R, WT=WT,
-                    mode=mode)
-            )
-            fn = lambda X: _hybrid(gp, plan, X)
+            # Materialized band: build the dense (n, Wwin) band once and
+            # stream it per SpMM (the iterative-solver steady state —
+            # HBM-bound instead of A-build-bound).  GLT_BENCH_BAND=0
+            # falls back to the on-the-fly A-build kernel.
+            use_band = use_band and gp.n * Wwin * 4 <= 8e9
+            band_build_s = 0.0
+            if use_band:
+                cols_c = gp.cols[:, :kcap]
+                vals_c = gp.vals[:, :kcap]
+                _mat = jax.jit(
+                    lambda c, v, ws: materialize_band(
+                        c, v, ws, Wwin, R=R, WT=WT))
+                # warm with a VALUE fetch: on the tunneled runtime
+                # block_until_ready can be elided; only a host value
+                # forces real execution
+                band = _mat(cols_c, vals_c, jnp.asarray(winstart))
+                float(jnp.sum(band[0, :8]))
+                band.delete()     # keep ONE (n, Wwin) band alive in HBM
+                t0 = time.perf_counter()
+                band = _mat(cols_c, vals_c, jnp.asarray(winstart))
+                float(jnp.sum(band[0, :8]))
+                band_build_s = time.perf_counter() - t0
+                _hybrid = jax.jit(
+                    lambda band_, g_, plan_, X: spmm_band_hybrid(
+                        band_, g_, X, (*plan_, Wwin, kcap), R=R, WT=WT,
+                        mode=mode)
+                )
+                fn = lambda X: _hybrid(band, gp, plan, X)
+            else:
+                _hybrid = jax.jit(
+                    lambda g_, plan_, X: spmm_banded_hybrid(
+                        g_, X, (*plan_, Wwin, kcap), W=Wwin, R=R, WT=WT,
+                        mode=mode)
+                )
+                fn = lambda X: _hybrid(gp, plan, X)
             pallas_ok = True
         except Exception as e:  # pragma: no cover - fallback path
             print(f"# pallas path failed ({e}); falling back to XLA", flush=True)
@@ -110,6 +145,12 @@ def main():
     # timed region ends with a tiny device->host fetch of a slice of Y.
     out = fn(X)
     float(jnp.sum(out[0]))  # compile + warm up, forced to completion
+    # settle: the first chained sequence after compile can hit a one-time
+    # runtime anomaly (program load/paging); run a short fetched loop first
+    out = X
+    for _ in range(3):
+        out = fn(out)
+    float(jnp.sum(out[0]))
     t0 = time.perf_counter()
     Y = X
     for _ in range(iters):
@@ -137,11 +178,14 @@ def main():
         "config": {
             "n": n, "k": k, "d": d, "iters": iters, "nnz": int(nnz),
             "backend": jax.default_backend(),
-            "kernel": "pallas_banded_hybrid" if pallas_ok else "xla_gather",
+            "kernel": (("pallas_band_stream" if use_band
+                        else "pallas_banded_hybrid") if pallas_ok
+                       else "xla_gather"),
             "residual_frac": round(float(residual_frac), 5),
             "window": int(Wwin) if pallas_ok else 0,
             "mode": mode if pallas_ok else "",
             "kcap": int(kcap) if pallas_ok else 0,
+            "band_build_s": round(band_build_s, 4) if pallas_ok else 0.0,
             "baseline": "scipy CSR SpMM f64 host",
         },
         "baseline_edges_per_sec": round(base_edges_per_s, 1),

@@ -149,12 +149,247 @@ def banded_spmm(cols, vals, winstart, X, W: int = 1024, R: int = 512,
     )(winstart, cols, vals, X)
 
 
+# -- materialized-band path ----------------------------------------------
+#
+# The A-build compare+select passes cost n·W·kcap VPU ops per SpMM call and
+# dominate the banded kernel (measured: mode f32→bf16 changes edges/s by
+# <20% — the MXU is not the bottleneck).  Iterative solvers (CG, power
+# iteration, MBO heat steps — reference utils.py:483-532 hot loop) apply
+# the SAME operator hundreds of times, so we build the dense (n, W) band
+# ONCE in HBM and each subsequent SpMM just streams it: cost becomes
+# n·W·bytes/HBM_BW — memory-bound, ~6× faster at W=4-5k, kcap≈20.
+# The trade is HBM footprint (n·W·4 bytes f32); callers gate on a memory
+# budget (see ops.accel).
+
+
+def _band_build_kernel(winstart_ref, cols_ref, vals_ref, band_ref,
+                       *, WT: int, k: int, out_dtype):
+    # NOTE grid order is (t, i): the row-block axis i is INNERMOST.  With
+    # the output block index varying along the inner axis, tile writes
+    # stream at full rate; the (i, t) order (out index varying on the
+    # inner-of-two axes' second coordinate) measured 3 orders of magnitude
+    # slower on v5e.
+    t = pl.program_id(0)
+    i = pl.program_id(1)
+    base = winstart_ref[i] + t * WT
+
+    R = cols_ref.shape[0]
+    local = cols_ref[:] - base
+    in_tile = (local >= 0) & (local < WT)
+    local = jnp.clip(local, 0, WT - 1)
+    w = jnp.where(in_tile, vals_ref[:], 0.0)
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (R, WT), 1)
+    A = jnp.zeros((R, WT), dtype=jnp.float32)
+    for j in range(k):
+        A = A + jnp.where(
+            col_ids == local[:, j][:, None], w[:, j][:, None], 0.0
+        )
+    band_ref[:] = A.astype(out_dtype)
+
+
+def materialize_band(cols, vals, winstart, W: int, R: int = 512,
+                     WT: int = 1024, interpret: bool = False,
+                     out_dtype=jnp.float32):
+    """One-time dense-band build: returns ``band`` of shape (n, W) with
+    ``band[i, c] = sum of vals[i, j] over cols[i, j] == winstart[block(i)] + c``
+    (out-of-window edges dropped — the caller's residual list covers them).
+    """
+    n, k = cols.shape
+    WT = min(WT, W)
+    assert n % R == 0 and n % WT == 0 and W % WT == 0
+    # large slot counts (hub degrees) overflow the kernel's scoped VMEM:
+    # build in slot chunks and sum (one-time cost, transient 2x band HBM)
+    KMAX = 32
+    if k > KMAX:
+        out = materialize_band(cols[:, :KMAX], vals[:, :KMAX], winstart, W,
+                               R=R, WT=WT, interpret=interpret,
+                               out_dtype=jnp.float32)
+        rest = materialize_band(cols[:, KMAX:], vals[:, KMAX:], winstart, W,
+                                R=R, WT=WT, interpret=interpret,
+                                out_dtype=jnp.float32)
+        return (out + rest).astype(out_dtype)
+    grid = (W // WT, n // R)                      # i innermost (see kernel)
+    kernel = functools.partial(_band_build_kernel, WT=WT, k=k,
+                               out_dtype=out_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((R, k), lambda t, i, ws: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, k), lambda t, i, ws: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, WT), lambda t, i, ws: (i, t),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, W), out_dtype),
+        interpret=interpret,
+    )(winstart, cols, vals)
+
+
+def _band_matmul_kernel(winstart_ref, band_ref, x_ref, out_ref,
+                        *, mode: str):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    A = band_ref[:]
+    x = x_ref[:]
+    dims = (((1,), (0,)), ((), ()))
+    if A.dtype == jnp.bfloat16:
+        out_ref[:] += jax.lax.dot_general(
+            A, x.astype(jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32)
+    elif mode == "f32":
+        out_ref[:] += jax.lax.dot_general(
+            A, x, dims, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    elif mode == "bf16x3":
+        A_hi = A.astype(jnp.bfloat16)
+        A_lo = (A - A_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        x_hi = x.astype(jnp.bfloat16)
+        x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            A_hi, x_hi, dims, preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(
+            A_hi, x_lo, dims, preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(
+            A_lo, x_hi, dims, preferred_element_type=jnp.float32)
+        out_ref[:] += acc
+    else:  # "bf16" on f32-stored band
+        out_ref[:] += jax.lax.dot_general(
+            A.astype(jnp.bfloat16), x.astype(jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32)
+
+
+def band_spmm(band, winstart, X, R: int = 512, WT: int = 1024,
+              interpret: bool = False, mode: str = "f32"):
+    """``out = band-matrix @ X`` streaming a materialized (n, W) band
+    (from :func:`materialize_band`).  Memory-bound: no A-build passes."""
+    n, W = band.shape
+    d = X.shape[1]
+    WT = min(WT, W)
+    assert (n % R == 0 and n % WT == 0 and W % WT == 0
+            and d % 128 == 0), (n, R, W, WT, d)
+    grid = (n // R, W // WT)
+    kernel = functools.partial(_band_matmul_kernel, mode=mode)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((R, WT), lambda i, t, ws: (i, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((WT, d), lambda i, t, ws: (ws[i] // WT + t, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, d), lambda i, t, ws: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        interpret=interpret,
+    )(winstart, band, X)
+
+
+def build_residual_ell(rrows, rslots, cols_np, vals_np, n_pad: int,
+                       rb: int | None = None):
+    """Host-side residual regrouping: the naive per-edge ``out.at[rows].add``
+    scatter serializes on duplicate rows (measured ~300ns/edge on v5e for
+    a 200k-edge residual).  Regroup into
+
+    * an ELL bucket — unique rows × ``rb`` slots — whose contribution is
+      applied with a GATHER-based expansion (``inv_map``), no scatter;
+    * a tiny COO spill for rows with more than ``rb`` residual edges
+      (hubs), applied with a unique-free scatter of few rows.
+
+    Returns ``(urows, rcols, rvals, inv_map, spill_rows, spill_cols,
+    spill_vals)`` as device arrays, or None when there is no residual.
+    """
+    m = len(rrows)
+    if m == 0:
+        return None
+    rcols_e = cols_np[rrows, rslots].astype(np.int64)
+    rvals_e = vals_np[rrows, rslots]
+    order = np.argsort(rrows, kind="stable")
+    rr = rrows[order]
+    rc = rcols_e[order]
+    rv = rvals_e[order]
+    counts = np.bincount(rr, minlength=n_pad)
+    urows = np.nonzero(counts)[0]
+    if rb is None:
+        # 95th-percentile row count, clamped — hub tails go to the spill
+        rb = int(np.clip(np.percentile(counts[urows], 95), 4, 32))
+    start_of = np.zeros(n_pad + 1, np.int64)
+    start_of[1:] = np.cumsum(counts)
+    rank = np.arange(m) - start_of[rr]
+    in_ell = rank < rb
+    ui = np.searchsorted(urows, rr[in_ell])
+    rcols = np.zeros((len(urows), rb), np.int32)
+    rvals = np.zeros((len(urows), rb), np.float32)
+    rcols[ui, rank[in_ell]] = rc[in_ell]
+    rvals[ui, rank[in_ell]] = rv[in_ell]
+    inv_map = np.full(n_pad, -1, np.int32)
+    inv_map[urows] = np.arange(len(urows))
+    sp_r = rr[~in_ell].astype(np.int32)
+    sp_c = rc[~in_ell].astype(np.int32)
+    sp_v = rv[~in_ell].astype(np.float32)
+    return (jnp.asarray(urows.astype(np.int32)), jnp.asarray(rcols),
+            jnp.asarray(rvals), jnp.asarray(inv_map),
+            jnp.asarray(sp_r), jnp.asarray(sp_c), jnp.asarray(sp_v))
+
+
+def apply_residual(out, Xp, resid):
+    """Add the regrouped residual contribution (see build_residual_ell)."""
+    urows, rcols, rvals, inv_map, sp_r, sp_c, sp_v = resid
+    if rcols.shape[0]:
+        C = jnp.einsum("ur,urd->ud", rvals, jnp.take(Xp, rcols, axis=0),
+                       preferred_element_type=jnp.float32)
+        add = jnp.where((inv_map >= 0)[:, None],
+                        jnp.take(C, jnp.clip(inv_map, 0, None), axis=0), 0.0)
+        out = out + add
+    if sp_r.shape[0]:
+        out = out.at[sp_r].add(sp_v[:, None] * jnp.take(Xp, sp_c, axis=0))
+    return out
+
+
+def spmm_band_hybrid(band, g, X, plan, R: int = 512, WT: int = 1024,
+                     interpret: bool = False, mode: str = "f32",
+                     resid=None):
+    """Materialized-band SpMM + gather path for the residual edges."""
+    if len(plan) == 5:
+        winstart, rrows, rslots, _, _ = plan
+    else:
+        winstart, rrows, rslots, _ = plan
+    d = X.shape[1]
+    d_pad = (-d) % 128
+    Xp = jnp.pad(X, ((0, 0), (0, d_pad))) if d_pad else X
+    out = band_spmm(band, jnp.asarray(winstart), Xp, R=R, WT=WT,
+                    interpret=interpret, mode=mode)
+    if resid is not None:
+        out = apply_residual(out, Xp, resid)
+    elif len(rrows):
+        rcols = g.cols[rrows, rslots]
+        rvals = g.vals[rrows, rslots]
+        contrib = rvals[:, None] * jnp.take(Xp, rcols, axis=0)
+        out = out.at[rrows].add(contrib)
+    return out[:, :d] if d_pad else out
+
+
 # -- host-side planning ---------------------------------------------------
 
 
 def plan_banded(cols_np, R: int = 512, W: int | None = None, WT: int = 1024,
                 max_residual: float = 0.002, max_W: int = 16384,
-                deg=None, kcap: int | None = None):
+                deg=None, kcap: int | None = None,
+                kcap_max: int | None = None,
+                gain_per_tile: int | None = None):
     """Compute per-row-block window starts and the residual (out-of-window
     or over-``kcap``) edge list.
 
@@ -190,6 +425,10 @@ def plan_banded(cols_np, R: int = 512, W: int | None = None, WT: int = 1024,
                     break
         else:
             kcap = k
+    if kcap_max is not None:
+        # hard cap (e.g. the build kernel's VMEM slot budget) — overflow
+        # edges land in the residual beyond the max_residual target
+        kcap = min(kcap, kcap_max)
 
     blocks = cols_np.reshape(nblocks, R * k)
     med = np.median(blocks, axis=1)
@@ -211,10 +450,21 @@ def plan_banded(cols_np, R: int = 512, W: int | None = None, WT: int = 1024,
         # graph of bandwidth B, the needed W ≈ R + 2B + WT quantization.
         cap = min(max_W, max(WT, (n // WT) * WT))
         W = WT
+        prev = None
         while True:
             winstart, out_mask = residuals(W)
-            if out_mask.sum() / total_edges <= max_residual or W >= cap:
+            cur = int(out_mask.sum())
+            if cur / total_edges <= max_residual or W >= cap:
                 break
+            if (gain_per_tile is not None and prev is not None
+                    and prev - cur < gain_per_tile):
+                # cost-aware stop: widening the window costs more stream
+                # time than the residual edges it absorbs would cost in
+                # the gather path
+                W -= WT
+                winstart, out_mask = residuals(W)
+                break
+            prev = cur
             W += WT
     assert W % WT == 0 and W <= n, (W, WT, n)
     winstart, out_mask = residuals(W)
@@ -225,7 +475,7 @@ def plan_banded(cols_np, R: int = 512, W: int | None = None, WT: int = 1024,
 
 def spmm_banded_hybrid(g, X, plan, W: int | None = None, R: int = 512,
                        WT: int = 1024, interpret: bool = False,
-                       mode: str = "f32", precision=None):
+                       mode: str = "f32", precision=None, resid=None):
     """Banded Pallas kernel + XLA gather for the residual edges
     (ELL+COO hybrid).  ``plan`` comes from :func:`plan_banded`; its
     auto-selected window/kcap are used unless ``W`` overrides the window.
@@ -247,6 +497,9 @@ def spmm_banded_hybrid(g, X, plan, W: int | None = None, R: int = 512,
     Xp = jnp.pad(X, ((0, 0), (0, d_pad))) if d_pad else X
     out = banded_spmm(cols, vals, jnp.asarray(winstart), Xp, W=W, R=R,
                       WT=WT, interpret=interpret, mode=mode)
+    if resid is not None:
+        out = apply_residual(out, Xp, resid)
+        return out[:, :d] if d_pad else out
     if len(rrows):
         # the kernel zeroed out-of-window / over-cap edges; add them here
         rcols = g.cols[rrows, rslots]

@@ -101,3 +101,50 @@ def test_randomwalk_accel_path_matches_plain(knn_W, monkeypatch):
     pred_plain = gl.ssl.randomwalk(W).fit_predict(train_ind,
                                                   labels[train_ind])
     assert np.mean(pred_acc == pred_plain) > 0.995
+
+
+def test_residual_ell_matches_naive_scatter():
+    """build_residual_ell + apply_residual must equal the per-edge
+    scatter-add it replaces (including hub rows that spill)."""
+    from graphlearning_tpu.ops.pallas_spmm import (
+        apply_residual, build_residual_ell)
+
+    rs = np.random.RandomState(3)
+    n, k, d, m = 256, 12, 8, 500
+    cols_np = rs.randint(0, n, (n, k))
+    vals_np = rs.rand(n, k).astype(np.float32)
+    rrows = rs.randint(0, n, m)
+    rrows[:50] = 7          # hub row with many residual edges -> spill
+    rslots = rs.randint(0, k, m)
+    X = jnp.asarray(rs.randn(n, d).astype(np.float32))
+
+    resid = build_residual_ell(rrows, rslots, cols_np, vals_np, n)
+    out = apply_residual(jnp.zeros((n, d), jnp.float32), X, resid)
+
+    ref = np.zeros((n, d))
+    for r, s in zip(rrows, rslots):
+        ref[r] += vals_np[r, s] * np.asarray(X)[cols_np[r, s]]
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_cluster_ordering_on_cluster_graph():
+    """A kNN graph of clustered embeddings (RCM-hostile) must still solve
+    correctly through AccelSpMM — exercising the cluster-aligned ordering
+    with interior padding rows."""
+    rs = np.random.RandomState(1)
+    n, ncls = 8192, 4
+    centers = rs.randn(ncls, 8) * 4.0
+    labels = rs.randint(0, ncls, n)
+    pts = centers[labels] + rs.randn(n, 8)
+    W, _ = gl.weightmatrix.knn(pts, 8), None
+    acc = AccelSpMM(W, interpret=True, materialize=True)
+    X = rs.randn(W.shape[0], 4).astype(np.float32)
+    Y = acc.from_perm(acc.spmm(acc.to_perm(jnp.asarray(X))))
+    ref = W @ X.astype(np.float64)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(Y) / scale, ref / scale,
+                               atol=5e-5)
+    # round-trip of the padded permutation maps
+    Z = rs.randn(W.shape[0], 3).astype(np.float32)
+    back = acc.from_perm(acc.to_perm(jnp.asarray(Z)))
+    np.testing.assert_allclose(np.asarray(back), Z)

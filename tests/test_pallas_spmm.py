@@ -118,3 +118,63 @@ def test_bf16x3_mode_accuracy():
     ref = W @ X.astype(np.float64)
     err = np.abs(np.asarray(out)[:n] - ref).max() / np.abs(ref).max()
     assert err < 5e-5, err
+
+
+# -- materialized-band path ------------------------------------------------
+
+
+@pytest.mark.parametrize("store,mode,tol", [
+    ("f32", "f32", 2e-6),
+    ("f32", "bf16x3", 2e-4),
+    ("bf16", "bf16", 2e-2),
+])
+def test_band_stream_matches_scipy(store, mode, tol):
+    from graphlearning_tpu.ops.pallas_spmm import (
+        materialize_band, spmm_band_hybrid)
+
+    n, k, d = 1024, 8, 128
+    W = _banded_graph(n, k, 400, seed=5)
+    g = pad_graph_to(SparseGraph.from_scipy(W, dtype=jnp.float32), 512)
+    rs = np.random.RandomState(2)
+    X = rs.randn(g.n, d).astype(np.float32)
+
+    winstart, rrows, rslots, Wwin, kcap = plan_banded(
+        np.asarray(g.cols), R=512, kcap=g.cols.shape[1])
+    band = materialize_band(
+        g.cols, g.vals, jnp.asarray(winstart), Wwin, R=512,
+        interpret=True,
+        out_dtype=jnp.bfloat16 if store == "bf16" else jnp.float32)
+    plan = (jnp.asarray(winstart), jnp.asarray(rrows),
+            jnp.asarray(rslots), Wwin, kcap)
+    out = spmm_band_hybrid(band, g, jnp.asarray(X), plan, R=512,
+                           interpret=True, mode=mode)
+    ref = W @ np.asarray(X[:n]).astype(np.float64)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(out)[:n] / scale, ref / scale,
+                               atol=tol)
+
+
+def test_band_equals_onthefly_kernel():
+    """The materialized band must reproduce exactly what the on-the-fly
+    A-build kernel computes (same windows, same in-window edge set)."""
+    from graphlearning_tpu.ops.pallas_spmm import (
+        materialize_band, spmm_band_hybrid)
+
+    n, k, d = 1024, 6, 128
+    W = _banded_graph(n, k, 900, seed=7)
+    g = pad_graph_to(SparseGraph.from_scipy(W, dtype=jnp.float32), 512)
+    rs = np.random.RandomState(3)
+    X = rs.randn(g.n, d).astype(np.float32)
+
+    winstart, rrows, rslots, Wwin, kcap = plan_banded(
+        np.asarray(g.cols), R=512, kcap=g.cols.shape[1])
+    plan = (jnp.asarray(winstart), jnp.asarray(rrows),
+            jnp.asarray(rslots), Wwin, kcap)
+    band = materialize_band(g.cols, g.vals, jnp.asarray(winstart), Wwin,
+                            R=512, interpret=True)
+    out_band = spmm_band_hybrid(band, g, jnp.asarray(X), plan, R=512,
+                                interpret=True, mode="f32")
+    out_fly = spmm_banded_hybrid(g, jnp.asarray(X), plan, W=Wwin, R=512,
+                                 interpret=True, mode="f32")
+    np.testing.assert_allclose(np.asarray(out_band), np.asarray(out_fly),
+                               rtol=1e-5, atol=1e-5)

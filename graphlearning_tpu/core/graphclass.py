@@ -98,6 +98,25 @@ class graph:
         ncomp, _ = csgraph.connected_components(self.weight_matrix)
         return ncomp == 1
 
+    def neighbors(self, i, return_weights=False):
+        """Neighbor indices of node ``i`` (reference graph.py:124-151)."""
+        N = self.weight_matrix[i, :].nonzero()[1]
+        N = N[N != i]
+        if return_weights:
+            return N, np.asarray(self.weight_matrix[i, N].todense()).ravel()
+        return N
+
+    def largest_connected_component(self):
+        """Largest connected component: restricted graph + boolean node mask
+        (reference graph.py:553-582)."""
+        from scipy.sparse import csgraph
+
+        ncomp, labels = csgraph.connected_components(
+            self.weight_matrix, directed=False
+        )
+        ind = labels == np.argmax(np.bincount(labels, minlength=ncomp))
+        return graph(self.weight_matrix[ind, :][:, ind]), ind
+
     # -- Laplacians & calculus --------------------------------------------
 
     def laplacian(self, normalization: str = "combinatorial", alpha: float = 1.0):

@@ -104,3 +104,30 @@ def test_page_rank_teleport_vector(G):
     u = G.page_rank(alpha=0.85, v=v)
     assert abs(u.sum() - 1.0) < 1e-5
     assert u[0] > np.median(u)     # teleport node gets above-median mass
+
+
+def test_neighbors_and_largest_connected_component():
+    import scipy.sparse as sp
+    from graphlearning_tpu.core.graphclass import graph
+
+    # two components: a 0-1-2 triangle and a 3-4 edge
+    W = sp.csr_matrix(
+        np.array(
+            [
+                [0, 1, 1, 0, 0],
+                [1, 0, 1, 0, 0],
+                [1, 1, 0, 0, 0],
+                [0, 0, 0, 0, 2.0],
+                [0, 0, 0, 2.0, 0],
+            ]
+        )
+    )
+    G = graph(W)
+    N, w = G.neighbors(1, return_weights=True)
+    assert list(N) == [0, 2]
+    np.testing.assert_allclose(w, [1.0, 1.0])
+    assert list(G.neighbors(3)) == [4]
+    G2, ind = G.largest_connected_component()
+    assert G2.num_nodes == 3
+    assert ind.tolist() == [True, True, True, False, False]
+    assert G2.isconnected() and not G.isconnected()

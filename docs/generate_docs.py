@@ -8,6 +8,9 @@ Usage: python docs/generate_docs.py
 import importlib
 import inspect
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 MODULES = [
     "graphlearning_tpu",

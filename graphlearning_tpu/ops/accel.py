@@ -33,16 +33,22 @@ _TUNED = os.path.join(os.path.dirname(os.path.dirname(
     "spmm_tuned.json")
 
 
-def _tuned_defaults(exact: bool, band: bool = False):
+def _tuned_defaults(exact: bool, band: bool = False, fast: bool = False):
     if band:
         # materialized-band path: stream-bound, so prefer a tight window
         # (residual edges cost ~50ns each, window tiles ~0.2ns/cell) and
         # a larger row-block (X tiles shared across more rows)
         R, WT, mode, max_res = 512, 512, "f32" if exact else "bf16x3", 0.002
-        key = "best_band_exact" if exact else "best_band"
+        key = ("best_band_fast" if fast
+               else "best_band_exact" if exact else "best_band")
+        if fast:
+            mode = "bf16"
     else:
         R, WT, mode, max_res = 256, 512, "f32", 0.05
-        key = "best_exact" if exact else "best"
+        key = ("best_fast" if fast
+               else "best_exact" if exact else "best")
+        if fast:
+            mode = "bf16"
     try:
         tuned = json.load(open(_TUNED))
         best = tuned.get(key) or tuned["best"]
@@ -145,7 +151,7 @@ class AccelSpMM:
 
     def __init__(self, W, exact: bool = True, R=None, WT=None, mode=None,
                  max_residual=None, interpret: bool | None = None,
-                 materialize: bool | None = None):
+                 materialize: bool | None = None, fast: bool = False):
         import scipy.sparse as sp
         from scipy.sparse.csgraph import reverse_cuthill_mckee
         from graphlearning_tpu.core.sparse import SparseGraph
@@ -158,7 +164,8 @@ class AccelSpMM:
         band_intent = (materialize is not False
                        and not os.environ.get("GLT_NO_BAND")
                        and n0 * 5120 * 4 <= _band_budget_bytes())
-        dR, dWT, dmode, dres = _tuned_defaults(exact, band=band_intent)
+        dR, dWT, dmode, dres = _tuned_defaults(exact, band=band_intent,
+                                               fast=fast)
         self.R = R or dR
         self.WT = WT or dWT
         self.mode = mode or dmode
@@ -331,6 +338,15 @@ class AccelSpMM:
             tau_p, mask_p, bdy_p, tol, normalization=normalization,
             order=int(order), **self._statics(max_iter=int(max_iter)))
 
+    def heat_steps(self, deg_p, u_p, Db_p, dt, Ns: int):
+        """``Ns`` fused heat-equation steps ``u ← (I - dt L) u + Db`` in
+        permuted space (PoissonMBO threshold dynamics, reference
+        ssl.py:807-823; jit-cached across outer MBO iterations)."""
+        band = self.band() if self.materialize else None
+        return _heat_steps_accel(
+            self.g, band, self._resid, *self._plan_dev, deg_p, u_p, Db_p,
+            jnp.asarray(dt, u_p.dtype), Ns=int(Ns), **self._statics())
+
     def laplacian_matvec(self, normalization: str, deg_p):
         """``L @ X`` in permuted space (mirrors ops.laplacian_matvec for the
         three standard normalizations; padding rows act as identity/zero)."""
@@ -417,6 +433,20 @@ def _laplace_constrained_accel(gp, band, resid, winstart, rrows, rslots,
     u, _, _ = _cg.constrained_solve(L, Ldiag, mask_p, bdy_p, tol=tol,
                                     max_iter=max_iter)
     return u
+
+
+@functools.partial(jax.jit, static_argnames=("Ns",) + _STATICS)
+def _heat_steps_accel(gp, band, resid, winstart, rrows, rslots, deg_p, u_p,
+                      Db_p, dt, *, Ns, Wwin, R, WT, kcap, mode, interpret,
+                      max_iter=0):
+    spmm = _make_spmm(gp, band, resid, winstart, rrows, rslots, Wwin, R, WT,
+                      kcap, mode, interpret)
+
+    def body(j, u):
+        Lu = deg_p[:, None] * u - spmm(u)
+        return u - dt * Lu + Db_p
+
+    return jax.lax.fori_loop(0, Ns, body, u_p)
 
 
 # Cost-model constants calibrated on TPU v5e (see scripts/tune_spmm.py and

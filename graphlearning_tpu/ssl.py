@@ -507,7 +507,10 @@ class poisson(ssl):
 
         if self.solver == "conjugate_gradient":
             s = 1.0 / jnp.sqrt(deg)
-            acc = _accel.maybe_build(W, cache_obj=self)
+            # bf16x3 SpMM (~1e-5 operator error) is safe whenever the CG
+            # tolerance is loose enough; exact f32 otherwise
+            acc = _accel.maybe_build(W, cache_obj=self,
+                                     exact=self.tol < 1e-4)
             if acc is not None:
                 # banded-Pallas fast path: solve in RCM-permuted space
                 # (padding rows have s=0 → identity rows with zero rhs)
@@ -657,14 +660,28 @@ class poisson_mbo(ssl):
         Db = jnp.asarray(self.mu * dt * source, dtype=config.float_dtype())
         Ns = self.Ns
 
-        @jax.jit
-        def heat_steps(u):
-            # u ← (I - dt L) u + mu dt src, Ns times (fused on device)
-            def body(j, u):
-                Lu = deg[:, None] * u - _ops.spmm(g, u)
-                return u - dt * Lu + Db
+        # bf16-band fast path: heat stepping feeds a threshold projection,
+        # so ~0.3% SpMM error is immaterial — stream the band at half bytes
+        acc = _accel.maybe_build(W, cache_obj=self, attr="_accel_mbo",
+                                 exact=False, fast=True)
+        if acc is not None:
+            deg_p = acc.to_perm(deg)
+            Db_p = acc.to_perm(Db)
 
-            return jax.lax.fori_loop(0, Ns, body, u)
+            def heat_steps(u):
+                u_p = acc.to_perm(u)
+                return acc.from_perm(
+                    acc.heat_steps(deg_p, u_p, Db_p, dt, Ns))
+        else:
+
+            @jax.jit
+            def heat_steps(u):
+                # u ← (I - dt L) u + mu dt src, Ns times (fused on device)
+                def body(j, u):
+                    Lu = deg[:, None] * u - _ops.spmm(g, u)
+                    return u - dt * Lu + Db
+
+                return jax.lax.fori_loop(0, Ns, body, u)
 
         for i in range(self.T):
             u = np.asarray(heat_steps(jnp.asarray(u, dtype=config.float_dtype())))

@@ -47,7 +47,7 @@ def load_reference():
     return rgl
 
 
-def make_blobs(n, d, num_classes, seed=0, spread=4.0):
+def make_blobs(n, d, num_classes, seed=0, spread=1.0):
     """Gaussian-mixture surrogate for a VAE/AET latent embedding."""
     rs = np.random.RandomState(seed)
     means = rs.randn(num_classes, d) * spread
@@ -89,11 +89,18 @@ def acc(pred, labels, train_ind):
 
 
 def run_config(name, ref_fit, tpu_fit, labels, train_ind, rows):
+    """``ref_fit``/``tpu_fit`` are zero-arg callables returning predictions.
+    Each is called twice on the SAME model instance (construct the model in
+    the enclosing scope): the warm second call amortizes one-time
+    graph-dependent setup (RCM/band build, jit compile) exactly the way
+    repeated fits in ``ssl_trials`` do."""
     ref_pred, t_ref = (None, float("nan"))
     if ref_fit is not None:
         ref_pred, t_ref = _timer(ref_fit)
+        ref_pred, t_ref2 = _timer(ref_fit)
+        t_ref = min(t_ref, t_ref2)
     tpu_pred, t_tpu = _timer(tpu_fit)     # includes compile
-    _, t_tpu2 = _timer(tpu_fit)           # warm
+    tpu_pred, t_tpu2 = _timer(tpu_fit)    # warm
     a_ref = acc(np.asarray(ref_pred), labels, train_ind) if ref_pred is not None else float("nan")
     a_tpu = acc(np.asarray(tpu_pred), labels, train_ind)
     speed = t_ref / t_tpu2 if ref_pred is not None else float("nan")
@@ -130,24 +137,27 @@ def main():
         W = knn_graph(X, 10)
         train_ind = pick_train(labels, 5)
         y = labels[train_ind]
+        m_ref, m_tpu = rgl.ssl.laplace(W), gl.ssl.laplace(W)
         run_config(
             f"1 laplace two-moons n={n}",
-            lambda: rgl.ssl.laplace(W).fit_predict(train_ind, y),
-            lambda: gl.ssl.laplace(W).fit_predict(train_ind, y),
+            lambda: m_ref.fit_predict(train_ind, y),
+            lambda: m_tpu.fit_predict(train_ind, y),
             labels, train_ind, rows)
 
     if cfgs & {2, 3, 4}:
         n = 70000 if full else 5000
-        X, labels = make_blobs(n, 30, 10, seed=1)
+        X, labels = make_blobs(n, 30, 10, seed=1)  # spread=1.0: connected, ~98% 1-NN ceiling
         W = knn_graph(X, 10)
         train_ind = pick_train(labels, 1, seed=1)
         y = labels[train_ind]
 
     if 2 in cfgs:
+        m_ref = rgl.ssl.poisson(W, solver="conjugate_gradient")
+        m_tpu = gl.ssl.poisson(W, solver="conjugate_gradient")
         run_config(
             f"2 poisson n={n} 1/class",
-            lambda: rgl.ssl.poisson(W, solver="conjugate_gradient").fit_predict(train_ind, y),
-            lambda: gl.ssl.poisson(W, solver="conjugate_gradient").fit_predict(train_ind, y),
+            lambda: m_ref.fit_predict(train_ind, y),
+            lambda: m_tpu.fit_predict(train_ind, y),
             labels, train_ind, rows)
 
     if 3 in cfgs:
@@ -167,35 +177,43 @@ def main():
 
     if 4 in cfgs:
         priors = np.bincount(labels, minlength=10) / len(labels)
+        m_ref = rgl.ssl.poisson_mbo(W, class_priors=priors)
+        m_tpu = gl.ssl.poisson_mbo(W, class_priors=priors)
         run_config(
             f"4a poisson_mbo n={n}",
-            lambda: rgl.ssl.poisson_mbo(W, class_priors=priors).fit_predict(train_ind, y),
-            lambda: gl.ssl.poisson_mbo(W, class_priors=priors).fit_predict(train_ind, y),
+            lambda: m_ref.fit_predict(train_ind, y),
+            lambda: m_tpu.fit_predict(train_ind, y),
             labels, train_ind, rows)
         if "graphlearning.cextensions" in sys.modules:
             counts = np.bincount(labels, minlength=10)
+            m_ref = rgl.ssl.volume_mbo(W, counts)
+            m_tpu = gl.ssl.volume_mbo(W, counts)
             run_config(
                 f"4b volume_mbo n={n}",
-                lambda: rgl.ssl.volume_mbo(W, counts).fit_predict(train_ind, y),
-                lambda: gl.ssl.volume_mbo(W, counts).fit_predict(train_ind, y),
+                lambda: m_ref.fit_predict(train_ind, y),
+                lambda: m_tpu.fit_predict(train_ind, y),
                 labels, train_ind, rows)
 
     if 5 in cfgs:
         n5 = 50000 if full else 5000
-        X5, labels5 = make_blobs(n5, 30, 10, seed=2, spread=3.0)
+        X5, labels5 = make_blobs(n5, 30, 10, seed=2, spread=1.0)
         W5 = knn_graph(X5, 10)
         train5 = pick_train(labels5, 1, seed=2)
         y5 = labels5[train5]
         if "graphlearning.cextensions" in sys.modules:
+            m_ref = rgl.ssl.plaplace(W5, p=10)
+            m_tpu = gl.ssl.plaplace(W5, p=10)
             run_config(
                 f"5a plaplace p=10 n={n5}",
-                lambda: rgl.ssl.plaplace(W5, p=10).fit_predict(train5, y5),
-                lambda: gl.ssl.plaplace(W5, p=10).fit_predict(train5, y5),
+                lambda: m_ref.fit_predict(train5, y5),
+                lambda: m_tpu.fit_predict(train5, y5),
                 labels5, train5, rows)
+        m_ref = rgl.ssl.laplace(W5, reweighting="wnll")
+        m_tpu = gl.ssl.laplace(W5, reweighting="wnll")
         run_config(
             f"5b laplace+WNLL n={n5}",
-            lambda: rgl.ssl.laplace(W5, reweighting="wnll").fit_predict(train5, y5),
-            lambda: gl.ssl.laplace(W5, reweighting="wnll").fit_predict(train5, y5),
+            lambda: m_ref.fit_predict(train5, y5),
+            lambda: m_tpu.fit_predict(train5, y5),
             labels5, train5, rows)
 
     if args.write:

@@ -148,3 +148,52 @@ def test_cluster_ordering_on_cluster_graph():
     Z = rs.randn(W.shape[0], 3).astype(np.float32)
     back = acc.from_perm(acc.to_perm(jnp.asarray(Z)))
     np.testing.assert_allclose(np.asarray(back), Z)
+
+
+def test_heat_steps_accel_matches_plain(knn_W):
+    """The fused heat-stepping entry point (PoissonMBO fast path) matches
+    Ns explicit (I - dt L) u + Db steps."""
+    W, _ = knn_W
+    from graphlearning_tpu.core.sparse import SparseGraph
+    from graphlearning_tpu.ops import graphops as ops
+
+    acc = AccelSpMM(W, interpret=True, exact=False, fast=True)
+    g = SparseGraph.from_scipy(W)
+    deg = ops.degree_vector(g).astype(jnp.float32)
+    n = W.shape[0]
+    rs = np.random.RandomState(3)
+    u = rs.rand(n, 4).astype(np.float32)
+    Db = 0.01 * rs.rand(n, 4).astype(np.float32)
+    dt = 1.0 / float(np.max(np.asarray(deg)))
+    Ns = 5
+
+    out = acc.from_perm(
+        acc.heat_steps(acc.to_perm(deg), acc.to_perm(jnp.asarray(u)),
+                       acc.to_perm(jnp.asarray(Db)), dt, Ns))
+
+    ref = u.astype(np.float64)
+    dv = np.asarray(deg, np.float64)
+    for _ in range(Ns):
+        Lu = dv[:, None] * ref - W @ ref
+        ref = ref - dt * Lu + Db
+    # bf16 band mode: ~0.4% relative tolerance
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-2, atol=2e-2)
+
+
+def test_poisson_mbo_accel_path_matches_plain(knn_W, monkeypatch):
+    W, X = knn_W
+    labels = (X[:, 0] > 0.5).astype(int)
+    train_ind = gl.trainsets.generate(labels, rate=10, seed=4)
+    priors = np.bincount(labels) / len(labels)
+
+    from graphlearning_tpu.ops import accel as accel_mod
+
+    monkeypatch.setattr(accel_mod, "_MIN_N", 1)
+    monkeypatch.setattr(accel_mod, "enabled", lambda: True)
+    monkeypatch.setenv("GLT_ACCEL_INTERPRET", "1")
+    m = gl.ssl.poisson_mbo(W, class_priors=priors, T=3, Ns=10)
+    pred_acc = m.fit_predict(train_ind, labels[train_ind])
+    monkeypatch.setattr(accel_mod, "enabled", lambda: False)
+    m2 = gl.ssl.poisson_mbo(W, class_priors=priors, T=3, Ns=10)
+    pred_plain = m2.fit_predict(train_ind, labels[train_ind])
+    assert np.mean(pred_acc == pred_plain) > 0.98

@@ -347,6 +347,17 @@ class AccelSpMM:
             self.g, band, self._resid, *self._plan_dev, deg_p, u_p, Db_p,
             jnp.asarray(dt, u_p.dtype), Ns=int(Ns), **self._statics())
 
+    def poisson_gd(self, deg_p, Db_p, v0_p, min_iter: int, max_iter: int,
+                   n_true: int):
+        """Poisson-learning gradient descent ``u ← Db + D^{-1} W u`` with
+        the random-walk mixing-time stopping rule (reference ssl.py:631-677)
+        in permuted space.  Symmetric graphs only (W^T = W)."""
+        band = self.band() if self.materialize else None
+        return _poisson_gd_accel(
+            self.g, band, self._resid, *self._plan_dev, deg_p, Db_p, v0_p,
+            min_iter=int(min_iter), n_true=int(n_true),
+            **self._statics(max_iter=int(max_iter)))
+
     def laplacian_matvec(self, normalization: str, deg_p):
         """``L @ X`` in permuted space (mirrors ops.laplacian_matvec for the
         three standard normalizations; padding rows act as identity/zero)."""
@@ -447,6 +458,40 @@ def _heat_steps_accel(gp, band, resid, winstart, rrows, rslots, deg_p, u_p,
         return u - dt * Lu + Db_p
 
     return jax.lax.fori_loop(0, Ns, body, u_p)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("min_iter", "n_true") + _STATICS)
+def _poisson_gd_accel(gp, band, resid, winstart, rrows, rslots, deg_p, Db_p,
+                      v0_p, *, min_iter, n_true, Wwin, R, WT, kcap, mode,
+                      interpret, max_iter):
+    """u and the mixing-time walker v ride ONE stacked SpMM per iteration:
+    the stacked column k holds D^{-1} v, so spmm gives [W u | W D^{-1} v]
+    and the update is u' = Db + D^{-1}·col_u, v' = col_v (both exact)."""
+    spmm = _make_spmm(gp, band, resid, winstart, rrows, rslots, Wwin, R, WT,
+                      kcap, mode, interpret)
+    dinv = jnp.where(deg_p > 0, 1.0 / jnp.where(deg_p == 0, 1.0, deg_p), 0.0)
+    vinf = deg_p / jnp.sum(deg_p)
+    kcls = Db_p.shape[1]
+    U0 = jnp.concatenate(
+        [jnp.zeros_like(Db_p), (dinv * v0_p)[:, None]], axis=1)
+
+    def cond(state):
+        U, T = state
+        v = deg_p * U[:, kcls]               # stacked column holds D^{-1} v
+        not_mixed = jnp.max(jnp.abs(v - vinf)) > 1.0 / n_true
+        return jnp.logical_and(
+            jnp.logical_or(T < min_iter, not_mixed), T < max_iter)
+
+    def body(state):
+        U, T = state
+        WU = spmm(U)
+        u = Db_p + dinv[:, None] * WU[:, :kcls]
+        zv = dinv * WU[:, kcls]              # D^{-1} v' for the next step
+        return jnp.concatenate([u, zv[:, None]], axis=1), T + 1
+
+    U, T = jax.lax.while_loop(cond, body, (U0, jnp.asarray(0)))
+    return U[:, :kcls]
 
 
 # Cost-model constants calibrated on TPU v5e (see scripts/tune_spmm.py and

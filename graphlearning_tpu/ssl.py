@@ -523,11 +523,30 @@ class poisson(ssl):
                                      self.tol)
                 u = s[:, None] * v
         elif self.solver == "gradient_descent":
-            u = np.asarray(
-                _poisson_gradient_descent(
-                    g, b, jnp.asarray(train_ind), self.min_iter, self.max_iter
+            # banded fast path (symmetric graphs only: spmm == spmm_t there)
+            acc = None
+            if (W != W.T).nnz == 0:
+                acc = _accel.maybe_build(W, cache_obj=self, attr="_accel_gd",
+                                         exact=False)
+            if acc is not None:
+                v0 = np.zeros(n)
+                v0[train_ind] = 1.0
+                v0 /= v0.sum()
+                u = acc.poisson_gd(
+                    acc.to_perm(deg),
+                    acc.to_perm(jnp.asarray(
+                        np.asarray(b) / np.asarray(deg)[:, None],
+                        dtype=config.float_dtype())),
+                    acc.to_perm(jnp.asarray(v0, dtype=config.float_dtype())),
+                    self.min_iter, self.max_iter, n)
+                u = np.asarray(acc.from_perm(u))
+            else:
+                u = np.asarray(
+                    _poisson_gradient_descent(
+                        g, b, jnp.asarray(train_ind), self.min_iter,
+                        self.max_iter
+                    )
                 )
-            )
         elif self.solver == "spectral":
             vals, vecs = G0.eigen_decomp(
                 normalization="randomwalk", k=self.spectral_cutoff + 1

@@ -197,3 +197,21 @@ def test_poisson_mbo_accel_path_matches_plain(knn_W, monkeypatch):
     m2 = gl.ssl.poisson_mbo(W, class_priors=priors, T=3, Ns=10)
     pred_plain = m2.fit_predict(train_ind, labels[train_ind])
     assert np.mean(pred_acc == pred_plain) > 0.98
+
+
+def test_poisson_gd_accel_path_matches_plain(knn_W, monkeypatch):
+    W, X = knn_W
+    labels = (X[:, 1] > 0.5).astype(int)
+    train_ind = gl.trainsets.generate(labels, rate=10, seed=5)
+
+    from graphlearning_tpu.ops import accel as accel_mod
+
+    monkeypatch.setattr(accel_mod, "_MIN_N", 1)
+    monkeypatch.setattr(accel_mod, "enabled", lambda: True)
+    monkeypatch.setenv("GLT_ACCEL_INTERPRET", "1")
+    m = gl.ssl.poisson(W, solver="gradient_descent")
+    pred_acc = m.fit_predict(train_ind, labels[train_ind])
+    monkeypatch.setattr(accel_mod, "enabled", lambda: False)
+    m2 = gl.ssl.poisson(W, solver="gradient_descent")
+    pred_plain = m2.fit_predict(train_ind, labels[train_ind])
+    assert np.mean(pred_acc == pred_plain) > 0.99

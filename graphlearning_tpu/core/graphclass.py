@@ -26,17 +26,25 @@ class graph:
     a :class:`SparseGraph`, or another :class:`graph`."""
 
     def __init__(self, W, k: int | None = None, dtype=None):
+        self._scipy = None
         if isinstance(W, graph):
             self.g = W.g
+            self._scipy = W._scipy
         elif isinstance(W, SparseGraph):
             self.g = W
         else:
             self.g = SparseGraph.from_scipy(W, k=k, dtype=dtype)
+            # keep the ORIGINAL scipy object: avoids a device→host rebuild
+            # in .weight_matrix and preserves caches attached to it (e.g.
+            # the banded-accel graph cache, ops.accel.maybe_build)
+            import scipy.sparse as sp
+
+            if sp.issparse(W):
+                self._scipy = W.tocsr() if W.format != "csr" else W
         self.num_nodes = self.g.n
         # eigendata cache, keyed per normalization then solver params
         # (reference graph.py:55-67,702-712)
         self.eigendata = {}
-        self._scipy = None
         self._mirror = None
 
     # -- interop ----------------------------------------------------------
@@ -255,9 +263,18 @@ class graph:
         key = (normalization, method, k, c, gamma, tol, q)
         cache = self.eigendata.setdefault(normalization, {})
         if key not in cache:
+            # banded-Pallas matvec (exact f32 band) for the LOBPCG /
+            # randomized-SVD inner loop; f32's power-filter (8 operator
+            # applications per LOBPCG step) makes the SpMM utterly dominant
+            from graphlearning_tpu.ops import accel as _accel
+
+            acc = None
+            if gamma == 0 and normalization in ("normalized", "randomwalk"):
+                acc = _accel.maybe_build(self.weight_matrix, cache_obj=self,
+                                         attr="_accel_eig", exact=True)
             cache[key] = _eig.eigen_decomp(
                 self.g, normalization=normalization, method=method, k=k,
-                c=c, gamma=gamma, tol=tol, q=q,
+                c=c, gamma=gamma, tol=tol, q=q, accel=acc,
             )
         vals, vecs = cache[key]
         return np.asarray(vals), np.asarray(vecs)

@@ -57,8 +57,10 @@ class SparseGraph:
     # -- construction -----------------------------------------------------
 
     @staticmethod
-    def from_scipy(W, k: int | None = None, dtype=None) -> "SparseGraph":
-        """Build from any scipy sparse matrix (host-side, one-time setup)."""
+    def ell_from_scipy(W, k: int | None = None):
+        """Host-only ELL assembly: ``(cols, vals, deg)`` numpy arrays.
+        Lets planners work without a host→device→host round-trip (the
+        remote-TPU tunnel makes each transfer expensive)."""
         import scipy.sparse as sp
 
         W = sp.csr_matrix(W)
@@ -69,7 +71,6 @@ class SparseGraph:
             k = max(1, kmax)
         elif k < kmax:
             raise ValueError(f"k={k} < max row degree {kmax}")
-        dtype = dtype or config.float_dtype()
         cols_np = np.repeat(np.arange(n, dtype=np.int32)[:, None], k, axis=1)
         vals_np = np.zeros((n, k), dtype=np.float64)
         # scatter CSR entries into the padded rows
@@ -77,6 +78,13 @@ class SparseGraph:
         slot = np.arange(W.indptr[-1]) - np.repeat(W.indptr[:-1], deg_np)
         cols_np[rows, slot] = W.indices.astype(np.int32)
         vals_np[rows, slot] = W.data
+        return cols_np, vals_np, deg_np
+
+    @staticmethod
+    def from_ell_np(cols_np, vals_np, deg_np, dtype=None) -> "SparseGraph":
+        """Transfer host-assembled ELL arrays to device (one transfer)."""
+        dtype = dtype or config.float_dtype()
+        n, k = cols_np.shape
         return SparseGraph(
             cols=jnp.asarray(cols_np, dtype=config.index_dtype),
             vals=jnp.asarray(vals_np, dtype=dtype),
@@ -84,6 +92,12 @@ class SparseGraph:
             n=n,
             k=k,
         )
+
+    @staticmethod
+    def from_scipy(W, k: int | None = None, dtype=None) -> "SparseGraph":
+        """Build from any scipy sparse matrix (host-side, one-time setup)."""
+        cols_np, vals_np, deg_np = SparseGraph.ell_from_scipy(W, k=k)
+        return SparseGraph.from_ell_np(cols_np, vals_np, deg_np, dtype=dtype)
 
     @staticmethod
     def from_coo(rows, cols, vals, n: int, k: int | None = None, dtype=None) -> "SparseGraph":

@@ -186,12 +186,13 @@ class AccelSpMM:
             return ((m + block - 1) // block) * block
 
         def assemble(order, pos, n_raw):
-            """Padded permuted graph + plan + steady-state cost estimate."""
+            """Padded permuted ELL (HOST numpy — no device transfer yet)
+            + plan + steady-state cost estimate."""
             n_pad = pad_to_block(n_raw)
             Psel = sp.csr_matrix(
                 (np.ones(n), (pos, order)), shape=(n_pad, n))
             Wp = (Psel @ W @ Psel.T).tocsr()
-            g = SparseGraph.from_scipy(Wp, dtype=jnp.float32)
+            cols_np, vals_np, deg_np = SparseGraph.ell_from_scipy(Wp)
             # cost-aware window growth + hub capping (see plan_banded):
             # per-WT-tile marginal cost in gather-equivalent edges
             if band_intent:
@@ -202,8 +203,8 @@ class AccelSpMM:
                     + _MXU_PS * 128 * _PASSES.get(self.mode, 6))
             gain = int(tile_cost / _RESID_NS)
             plan = plan_banded(
-                np.asarray(g.cols), R=self.R, WT=self.WT,
-                max_residual=max_residual, deg=np.asarray(g.deg),
+                cols_np, R=self.R, WT=self.WT,
+                max_residual=max_residual, deg=deg_np,
                 kcap_max=_KCAP_MAX, gain_per_tile=gain)
             Wwin, nres = plan[3], len(plan[1])
             cost = (n_pad * Wwin * (4 / _HBM_BPS if band_intent else
@@ -212,7 +213,7 @@ class AccelSpMM:
                                     * _PASSES.get(self.mode, 6))
                     + nres * _RESID_NS
                     + (n_pad * _GATHER_NS if nres else 0.0))
-            return g, plan, n_pad, cost
+            return (cols_np, vals_np, deg_np), plan, n_pad, cost
 
         # candidate 1: RCM (tight bands for mesh-like / low-dim kNN graphs)
         order = perm_rcm
@@ -221,7 +222,7 @@ class AccelSpMM:
         # candidate 2: cluster-aligned ordering, tried when RCM banding is
         # poor (cluster/expander graphs) and the band path is in play
         if band_intent and n >= 8192:
-            g1, plan1, _, cost1 = cand
+            _, plan1, _, cost1 = cand
             frac1 = len(plan1[1]) / max(1, self.nnz)
             if frac1 > 0.02:
                 try:
@@ -231,7 +232,11 @@ class AccelSpMM:
                         cand, order, pos = cand2, order2, pos2
                 except Exception:  # pragma: no cover — keep RCM
                     pass
-        self.g, plan, self.n_pad, self._cost_est = cand[:4]
+        ell_np, plan, self.n_pad, self._cost_est = cand[:4]
+        cols_np, vals_np, deg_np = ell_np
+        # ONE host→device transfer, of the chosen candidate only
+        self.g = SparseGraph.from_ell_np(cols_np, vals_np, deg_np,
+                                         dtype=jnp.float32)
         winstart, rrows, rslots, Wwin, kcap = plan
 
         # padded-position maps: original node order[i] lives at padded row
@@ -249,8 +254,7 @@ class AccelSpMM:
         from graphlearning_tpu.ops.pallas_spmm import build_residual_ell
 
         self._resid = build_residual_ell(
-            rrows, rslots, np.asarray(self.g.cols), np.asarray(self.g.vals),
-            self.n_pad)
+            rrows, rslots, cols_np, vals_np.astype(np.float32), self.n_pad)
         self._perm_dev = jnp.asarray(perm_ext)
         self._inv_dev = jnp.asarray(self.inv)
 
@@ -274,11 +278,18 @@ class AccelSpMM:
                     if self.kcap < self.g.cols.shape[1] else self.g.cols)
             vals = (self.g.vals[:, :self.kcap]
                     if self.kcap < self.g.vals.shape[1] else self.g.vals)
-            self._band = materialize_band(
+            band = materialize_band(
                 cols, vals, self._plan_dev[0], self.Wwin, R=self.R,
                 WT=self.WT, interpret=self.interpret,
                 out_dtype=self._band_dtype)
-            self._band.block_until_ready()
+            if isinstance(band, jax.core.Tracer):
+                # called under a trace: return the traced band without
+                # caching (an escaped tracer in self._band would poison
+                # later calls); callers wanting the one-time build must
+                # invoke band() eagerly first
+                return band
+            band.block_until_ready()
+            self._band = band
         return self._band
 
     # -- index maps (one gather each, outside the solver loop) ------------
@@ -346,6 +357,23 @@ class AccelSpMM:
         return _heat_steps_accel(
             self.g, band, self._resid, *self._plan_dev, deg_p, u_p, Db_p,
             jnp.asarray(dt, u_p.dtype), Ns=int(Ns), **self._statics())
+
+    def eig_normalized(self, s_p, k: int, m: int = 200, power: int = 8,
+                       key=None):
+        """Top-k eigenpairs of ``I + D^{-1/2} W D^{-1/2}`` in permuted space
+        via LOBPCG on the power-filtered operator (the eig.py 'exact' path
+        for normalized/randomwalk Laplacians).  The band rides through the
+        jit boundary as an ARGUMENT — a closure-captured band would be
+        serialized as a constant into the compile payload."""
+        import jax as _jax
+
+        if key is None:
+            key = _jax.random.PRNGKey(0)
+        X0 = _jax.random.normal(key, (self.n_pad, k), dtype=s_p.dtype)
+        band = self.band() if self.materialize else None
+        return _eig_norm_accel(
+            self.g, band, self._resid, *self._plan_dev, s_p, X0,
+            power=int(power), m=int(m), **self._statics())
 
     def poisson_gd(self, deg_p, Db_p, v0_p, min_iter: int, max_iter: int,
                    n_true: int):
@@ -460,6 +488,32 @@ def _heat_steps_accel(gp, band, resid, winstart, rrows, rslots, deg_p, u_p,
     return jax.lax.fori_loop(0, Ns, body, u_p)
 
 
+@functools.partial(jax.jit, static_argnames=("power", "m") + _STATICS)
+def _eig_norm_accel(gp, band, resid, winstart, rrows, rslots, s_p, X0, *,
+                    power, m, Wwin, R, WT, kcap, mode, interpret,
+                    max_iter=0):
+    """LOBPCG top-k of ``A = I + D^{-1/2} W D^{-1/2}`` (permuted space).
+    Padding rows have s=0, so A acts as the identity there (eigenvalue 1);
+    the low-lying Laplacian modes live near A=2 and stay on top."""
+    from jax.experimental.sparse.linalg import lobpcg_standard
+
+    spmm = _make_spmm(gp, band, resid, winstart, rrows, rslots, Wwin, R, WT,
+                      kcap, mode, interpret)
+
+    def A(X):
+        return X + s_p[:, None] * spmm(s_p[:, None] * X)
+
+    def op(Y):
+        for _ in range(power):
+            Y = A(Y)
+        return Y
+
+    theta, U, iters = lobpcg_standard(op, X0, m=m)
+    AU = A(U)
+    vals = 2.0 - jnp.sum(U * AU, axis=0) / jnp.sum(U * U, axis=0)
+    return vals, U
+
+
 @functools.partial(jax.jit,
                    static_argnames=("min_iter", "n_true") + _STATICS)
 def _poisson_gd_accel(gp, band, resid, winstart, rrows, rslots, deg_p, Db_p,
@@ -546,6 +600,27 @@ def maybe_build(W, cache_obj=None, attr="_accel_cache", d_pad=128, **kw):
         cached = getattr(cache_obj, attr, None)
         if cached is not None and cached.n == n and cached.nnz == W.nnz:
             return None if isinstance(cached, _Disabled) else cached
+    # graph-level cache: repeated fits on the SAME W object (ssl_trials,
+    # different model instances) skip the expensive host-side build
+    # (RCM + permutation + planning: tens of seconds at n~1e5)
+    gkey = (d_pad,) + tuple(sorted(kw.items()))
+    gcache = getattr(W, "_glt_accel_cache", None)
+    if isinstance(gcache, dict):
+        cached = gcache.get(gkey)
+        if cached is not None and cached.n == n and cached.nnz == W.nnz:
+            result = None if isinstance(cached, _Disabled) else cached
+            if cache_obj is not None:
+                setattr(cache_obj, attr, cached)
+            return result
+
+    def _gcache_put(value):
+        try:
+            if not isinstance(getattr(W, "_glt_accel_cache", None), dict):
+                W._glt_accel_cache = {}
+            W._glt_accel_cache[gkey] = value
+        except Exception:    # W type refuses attributes — skip
+            pass
+
     try:
         acc = AccelSpMM(W, **kw)
     except Exception:  # pragma: no cover — fall back to the XLA path
@@ -554,7 +629,9 @@ def maybe_build(W, cache_obj=None, attr="_accel_cache", d_pad=128, **kw):
     if _hybrid_estimate(acc, d_pad) > 0.7 * gather_est:
         if cache_obj is not None:
             setattr(cache_obj, attr, _Disabled(n, int(W.nnz)))
+        _gcache_put(_Disabled(n, int(W.nnz)))
         return None
     if cache_obj is not None:
         setattr(cache_obj, attr, acc)
+    _gcache_put(acc)
     return acc

@@ -101,16 +101,24 @@ def smallest_eigh(matvec, n, k, shift, tol=0, key=None, m=200, dtype=None):
 
 
 def eigen_decomp(g: SparseGraph, normalization="combinatorial", method="exact",
-                 k=10, c=None, gamma=0, tol=0, q=1):
+                 k=10, c=None, gamma=0, tol=0, q=1, spmm=None, accel=None):
     """Low-lying spectrum of the graph Laplacian (reference
     ``graph.py:623-806`` semantics: increasing eigenvalues, vectors as
     columns; randomwalk vecs are ``D^{-1/2}``-conjugated normalized vecs;
-    modularity via ``gamma > 0``)."""
+    modularity via ``gamma > 0``).
+
+    ``spmm``: optional override for the ``W @ X`` product (eager-safe
+    callers only).  ``accel``: optional AccelSpMM — the normalized /
+    randomwalk 'exact' branch then runs LOBPCG through the jitted
+    banded-kernel entry point (band passed as a jit argument, NOT a closure
+    constant), and 'lowrank' builds its eager sketch products from it."""
     if c is None:
         c = 2 * k
     n = g.n
     deg = _ops.degree_vector(g)
     dtype = g.vals.dtype
+    if spmm is None:
+        spmm = lambda X: _ops.spmm(g, X)
 
     if gamma != 0:
         # modularity operator: L v + (gamma/m) (deg2 . v) deg1
@@ -122,9 +130,16 @@ def eigen_decomp(g: SparseGraph, normalization="combinatorial", method="exact",
         deg1 = deg**p1
         deg2 = deg**p2
         mm = jnp.sum(deg) / 2
+        if lap_norm == "combinatorial":
+            lap_mv = lambda X: deg[:, None] * X - spmm(X)
+        elif lap_norm == "normalized":
+            sL = 1.0 / jnp.sqrt(deg)
+            lap_mv = lambda X: X - sL[:, None] * spmm(sL[:, None] * X)
+        else:
+            lap_mv = lambda X: _ops.laplacian_matvec(g, X, lap_norm, deg=deg)
 
         def Mop(X):
-            LX = _ops.laplacian_matvec(g, X, lap_norm, deg=deg)
+            LX = lap_mv(X)
             return LX + (gamma / mm) * deg1[:, None] * (deg2[None, :] @ X)
 
         lmax, _ = power_iteration(Mop, n, num_iter=100)
@@ -138,22 +153,33 @@ def eigen_decomp(g: SparseGraph, normalization="combinatorial", method="exact",
         s = 1.0 / jnp.sqrt(deg)
 
         def Anorm(X):  # D^-1/2 W D^-1/2
-            return s[:, None] * _ops.spmm(g, s[:, None] * X)
+            return s[:, None] * spmm(s[:, None] * X)
 
         if method == "exact":
-            # top-k of (I + Anorm), spectrum in [0, 2] — PSD
-            def A(X):
-                return X + Anorm(X)
+            if accel is not None:
+                # banded-kernel LOBPCG (jitted entry in ops.accel)
+                vals_p, U_p = accel.eig_normalized(
+                    accel.to_perm(s.astype(dtype)), k,
+                    power=_default_power(dtype))
+                vals, U = vals_p, accel.from_perm(U_p)
+            else:
+                # top-k of (I + Anorm), spectrum in [0, 2] — PSD
+                def A(X):
+                    return X + Anorm(X)
 
-            theta, U = _lobpcg_topk(A, n, k, tol, dtype=dtype,
-                                    power=_default_power(dtype))
-            vals = 2.0 - _rayleigh(A, U)  # = smallest of L_norm
+                theta, U = _lobpcg_topk(A, n, k, tol, dtype=dtype,
+                                        power=_default_power(dtype))
+                vals = 2.0 - _rayleigh(A, U)  # = smallest of L_norm
             order = jnp.argsort(vals)
             vals, vecs = vals[order], U[:, order]
         elif method == "lowrank":
             from graphlearning_tpu.utils import randomized_svd
 
-            u, sv, _ = randomized_svd(Anorm_wrap(g, s), k=k, c=c, q=q)
+            if accel is not None and spmm is None:
+                spmm = lambda X: accel.from_perm(
+                    accel.spmm(accel.to_perm(jnp.asarray(X))))
+            u, sv, _ = randomized_svd(Anorm_wrap(g, s, spmm=spmm), k=k,
+                                      c=c, q=q)
             vals = 1.0 - sv
             order = np.argsort(vals)
             vals, vecs = jnp.asarray(vals[order]), jnp.asarray(u[:, order])
@@ -167,7 +193,7 @@ def eigen_decomp(g: SparseGraph, normalization="combinatorial", method="exact",
         M = 2.0 * jnp.max(deg)
 
         def A(X):  # M I - L = (M - deg) X + W X — PSD
-            return (M - deg)[:, None] * X + _ops.spmm(g, X)
+            return (M - deg)[:, None] * X + spmm(X)
 
         if method == "exact":
             theta, U = _lobpcg_topk(A, n, k, tol, dtype=dtype,
@@ -197,7 +223,7 @@ def eigen_decomp(g: SparseGraph, normalization="combinatorial", method="exact",
         da = deg**-alpha
 
         def Kmv(X):
-            return da[:, None] * _ops.spmm(g, da[:, None] * X)
+            return da[:, None] * spmm(da[:, None] * X)
 
         dK = Kmv(jnp.ones((n, 1), dtype=dtype))[:, 0]
         sK = 1.0 / jnp.sqrt(dK)
@@ -215,16 +241,18 @@ def eigen_decomp(g: SparseGraph, normalization="combinatorial", method="exact",
     raise ValueError("Invalid choice of normalization " + normalization)
 
 
-def Anorm_wrap(g: SparseGraph, s):
+def Anorm_wrap(g: SparseGraph, s, spmm=None):
     """Shape-carrying symmetric normalized-adjacency operator for
     randomized_svd."""
     n = g.n
+    if spmm is None:
+        spmm = lambda X: _ops.spmm(g, X)
 
     class _Op:
         shape = (n, n)
 
         def __call__(self, X):
-            return s[:, None] * _ops.spmm(g, s[:, None] * X)
+            return s[:, None] * spmm(s[:, None] * X)
 
     return _Op()
 

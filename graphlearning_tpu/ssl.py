@@ -104,10 +104,22 @@ class ssl:
         rebuild + host->device transfer."""
         cached = getattr(self, "_nodiag_cache", None)
         if cached is None:
-            W = self.graph.weight_matrix.copy()
-            W.setdiag(0)
-            W.eliminate_zeros()
-            cached = (W, _graphmod.graph(W))
+            W0 = self.graph.weight_matrix
+            # shared across model instances via the W object, so repeated
+            # fits on the same graph reuse device arrays + accel caches
+            cached = getattr(W0, "_glt_nodiag_cache", None)
+            if cached is None:
+                if W0.diagonal().any():
+                    W = W0.copy()
+                    W.setdiag(0)
+                    W.eliminate_zeros()
+                    cached = (W, _graphmod.graph(W))
+                else:
+                    cached = (W0, _graphmod.graph(W0))
+                try:
+                    W0._glt_nodiag_cache = cached
+                except Exception:
+                    pass
             self._nodiag_cache = cached
         return cached
 

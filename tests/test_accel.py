@@ -215,3 +215,22 @@ def test_poisson_gd_accel_path_matches_plain(knn_W, monkeypatch):
     m2 = gl.ssl.poisson(W, solver="gradient_descent")
     pred_plain = m2.fit_predict(train_ind, labels[train_ind])
     assert np.mean(pred_acc == pred_plain) > 0.99
+
+
+def test_eigen_decomp_accel_matches_plain(knn_W, monkeypatch):
+    W, _ = knn_W
+    from graphlearning_tpu.ops import accel as accel_mod
+    from graphlearning_tpu.core.graphclass import graph
+
+    monkeypatch.setattr(accel_mod, "_MIN_N", 1)
+    monkeypatch.setattr(accel_mod, "enabled", lambda: True)
+    monkeypatch.setenv("GLT_ACCEL_INTERPRET", "1")
+    vals_a, vecs_a = graph(W).eigen_decomp(normalization="normalized", k=4)
+    monkeypatch.setattr(accel_mod, "enabled", lambda: False)
+    vals_p, vecs_p = graph(W).eigen_decomp(normalization="normalized", k=4)
+    np.testing.assert_allclose(vals_a, vals_p, atol=1e-5)
+    # eigenvectors up to sign
+    for j in range(4):
+        d = min(np.abs(vecs_a[:, j] - vecs_p[:, j]).max(),
+                np.abs(vecs_a[:, j] + vecs_p[:, j]).max())
+        assert d < 5e-3

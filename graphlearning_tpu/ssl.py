@@ -221,9 +221,10 @@ class ssl:
     def ssl_trials(self, trainsets, labels, num_cores=1, tag="",
                    save_results=True, overwrite=False, num_trials=-1):
         """Multi-trial benchmark runner (reference ``ssl.py:292-396``).
-        The reference forks joblib processes; here trials run sequentially
-        on the device (each trial is already device-parallel; trial-level
-        vmap batching is a planned optimisation)."""
+        The reference forks joblib processes; here same-size trials are
+        grouped and solved in ONE device program via the model's
+        vmap-batched fit (``fit_predict_batched``), with a sequential
+        fallback for models without a batched path."""
         labels = np.asarray(labels)
         if save_results:
             os.makedirs(results_dir, exist_ok=True)

@@ -35,10 +35,33 @@ def load_reference():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if repo not in sys.path:
         sys.path.insert(0, repo)
-    sys.path.insert(0, "/tmp/refbuild")  # compiled cextensions
+    sys.path.insert(0, "/tmp/refo1")  # compiled cextensions (-O1: the reference mbo C code has optimization-sensitive UB beyond the shimmed OOB read)
     sys.path.insert(0, "/root/reference")
     try:
         import cextensions
+
+        # Upstream OOB-read workaround: mbo_main's CSR row-count loop
+        # `while((J[j]==i) & (j < M))` (mnist_benchmark.cpp:151) reads J[M]
+        # past the buffer before the bounds check fires (non-short-circuit
+        # `&`, operands in the wrong order).  This environment's allocator
+        # faults on it (ASan: heap-buffer-overflow READ of size 4 at
+        # mnist_benchmark.cpp:151).  Shim: hand the C code views into
+        # over-allocated buffers whose one extra slot holds a sentinel that
+        # terminates the loop — logical length (PyArray_DIMS) unchanged.
+        _orig_volume_mbo = cextensions.volume_mbo
+
+        def _pad_view(a, sentinel):
+            b = np.empty(len(a) + 1, a.dtype)
+            b[: len(a)] = a
+            b[len(a)] = sentinel
+            return b[: len(a)]
+
+        def _safe_volume_mbo(u, WJ, WI, WV, *rest):
+            return _orig_volume_mbo(
+                u, _pad_view(WJ, -1), _pad_view(WI, -1),
+                _pad_view(WV, 0.0), *rest)
+
+        cextensions.volume_mbo = _safe_volume_mbo
         sys.modules["graphlearning.cextensions"] = cextensions
     except ImportError:
         print("warning: reference cextensions unavailable; configs 4b/5a skipped",
@@ -185,9 +208,11 @@ def main():
             lambda: m_tpu.fit_predict(train_ind, y),
             labels, train_ind, rows)
         if "graphlearning.cextensions" in sys.modules:
-            counts = np.bincount(labels, minlength=10)
-            m_ref = rgl.ssl.volume_mbo(W, counts)
-            m_tpu = gl.ssl.volume_mbo(W, counts)
+            # class PRIORS (fractions) — the reference derives counts as
+            # n*priors with no normalization (ssl.py:870); raw counts there
+            # explode the C auction's volume bounds
+            m_ref = rgl.ssl.volume_mbo(W, priors)
+            m_tpu = gl.ssl.volume_mbo(W, priors)
             run_config(
                 f"4b volume_mbo n={n}",
                 lambda: m_ref.fit_predict(train_ind, y),

@@ -194,11 +194,19 @@ class ssl:
         self.fitted = True
         if self.onevsrest:
             unique_labels = np.unique(train_labels)
-            self.prob = np.zeros((self.graph.num_nodes, len(unique_labels)))
-            for i, l in enumerate(unique_labels):
-                self.prob[:, i] = np.asarray(
-                    self._fit(train_ind, train_labels == l)
-                )
+            if hasattr(self, "_fit_onevsrest"):
+                # class-batched path: all C one-vs-rest problems solve in
+                # ONE device program (shared gathers; C× fewer iterations
+                # of dispatch than the per-class loop)
+                self.prob = np.asarray(self._fit_onevsrest(
+                    train_ind, train_labels, unique_labels))
+            else:
+                self.prob = np.zeros(
+                    (self.graph.num_nodes, len(unique_labels)))
+                for i, l in enumerate(unique_labels):
+                    self.prob[:, i] = np.asarray(
+                        self._fit(train_ind, train_labels == l)
+                    )
         else:
             self.prob = np.asarray(
                 self._fit(train_ind, train_labels, all_labels=all_labels)
@@ -1248,6 +1256,14 @@ class amle(ssl):
                                tol=self.tol, max_num_it=self.max_num_it,
                                weighted=self.weighted)
 
+    def _fit_onevsrest(self, train_ind, train_labels, unique_labels):
+        from graphlearning_tpu.solvers.plaplace import amle_mc
+
+        bdy_vals = (train_labels[:, None] == unique_labels[None, :]).astype(
+            float)
+        return amle_mc(self.graph.sparse, train_ind, bdy_vals, tol=self.tol,
+                       max_num_it=self.max_num_it, weighted=self.weighted)
+
 
 class peikonal(ssl):
     """p-eikonal learning, one-vs-rest distance scores (reference
@@ -1302,6 +1318,15 @@ class plaplace(ssl):
         return self.graph.plaplace(train_ind, train_labels.astype(float),
                                    self.p, max_num_it=self.max_num_it,
                                    tol=self.tol)
+
+    def _fit_onevsrest(self, train_ind, train_labels, unique_labels):
+        from graphlearning_tpu.solvers.plaplace import plaplace_mc
+
+        bdy_vals = (train_labels[:, None] == unique_labels[None, :]).astype(
+            float)
+        return plaplace_mc(self.graph.sparse, train_ind, bdy_vals, self.p,
+                           max_num_it=self.max_num_it, tol=self.tol,
+                           fast=self.fast)
 
 
 # -- report generators (reference ssl.py:1837-2053) ------------------------

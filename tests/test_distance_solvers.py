@@ -249,3 +249,45 @@ def test_device_volume_assignment_vs_auction_oracle():
     obj_host = a[np.arange(n), lab_host].sum()
     assert (np.bincount(lab_dev, minlength=k) == target).all()
     assert obj_dev >= obj_host - 0.05 * abs(obj_host)
+
+
+def test_plaplace_amle_onevsrest_batched_matches_loop(pointcloud_graph):
+    """The class-batched one-vs-rest fit (plaplace_mc/amle_mc) must match
+    the sequential per-class loop."""
+    import graphlearning_tpu as gl
+    from graphlearning_tpu.solvers.plaplace import plaplace_mc, amle_mc
+
+    X, W = pointcloud_graph
+    g = SparseGraph.from_scipy(W)
+    n = g.n
+    rs = np.random.RandomState(0)
+    labels = (X[:, 0] > 0.33).astype(int) + (X[:, 0] > 0.66).astype(int)
+    train_ind = np.sort(rs.choice(n, 15, replace=False))
+    uniq = np.unique(labels[train_ind])
+    bdy_vals = (labels[train_ind][:, None] == uniq[None, :]).astype(float)
+
+    from graphlearning_tpu.solvers.plaplace import plaplace as pl_single
+    from graphlearning_tpu.solvers.plaplace import amle as amle_single
+
+    # joint stopping truncates at a slightly different iterate than the
+    # per-class loops — same fixed point, tolerance-level differences
+    U = plaplace_mc(g, train_ind, bdy_vals, p=10)
+    for c in range(len(uniq)):
+        u = pl_single(g, train_ind, bdy_vals[:, c], p=10)
+        np.testing.assert_allclose(U[:, c], u, atol=5e-4)
+
+    U = amle_mc(g, train_ind, bdy_vals, weighted=True)
+    for c in range(len(uniq)):
+        u = amle_single(g, train_ind, bdy_vals[:, c], weighted=True)
+        np.testing.assert_allclose(U[:, c], u, atol=5e-4)
+
+    # end-to-end: model predictions identical through the hook
+    m = gl.ssl.plaplace(W, p=10)
+    pred_batched = m.fit_predict(train_ind, labels[train_ind])
+    m2 = gl.ssl.plaplace(W, p=10)
+    del type(m2)._fit_onevsrest   # force the per-class loop path
+    try:
+        pred_loop = m2.fit_predict(train_ind, labels[train_ind])
+    finally:
+        from graphlearning_tpu.solvers.plaplace import plaplace_mc as _r
+    assert np.mean(pred_batched == pred_loop) > 0.995

@@ -375,6 +375,19 @@ class AccelSpMM:
             self.g, band, self._resid, *self._plan_dev, s_p, X0,
             power=int(power), m=int(m), **self._statics())
 
+    def dual_conv_labels(self, dinv_p, labels, k: int):
+        """VolumeMBO dual convolution ``D^{-1} W (D^{-1} W onehot(labels))``
+        (reference ``calc_dual_convolution``, mbo_convolution.cpp:659-686).
+        ``labels`` is in ORIGINAL node order; the one-hot, both permutation
+        gathers and both SpMMs run in ONE jitted program (per-MBO-iteration
+        eager dispatch through the device tunnel would dominate otherwise).
+        Returns affinities in original order, shape (n, k)."""
+        band = self.band() if self.materialize else None
+        return _dual_conv_labels_accel(
+            self.g, band, self._resid, *self._plan_dev, dinv_p,
+            jnp.asarray(labels), self._perm_dev, self._inv_dev,
+            k=int(k), **self._statics())
+
     def poisson_gd(self, deg_p, Db_p, v0_p, min_iter: int, max_iter: int,
                    n_true: int):
         """Poisson-learning gradient descent ``u ← Db + D^{-1} W u`` with
@@ -486,6 +499,20 @@ def _heat_steps_accel(gp, band, resid, winstart, rrows, rslots, deg_p, u_p,
         return u - dt * Lu + Db_p
 
     return jax.lax.fori_loop(0, Ns, body, u_p)
+
+
+@functools.partial(jax.jit, static_argnames=("k",) + _STATICS)
+def _dual_conv_labels_accel(gp, band, resid, winstart, rrows, rslots, dinv_p,
+                            labels, perm_dev, inv_dev, *, k, Wwin, R, WT,
+                            kcap, mode, interpret, max_iter=0):
+    spmm = _make_spmm(gp, band, resid, winstart, rrows, rslots, Wwin, R, WT,
+                      kcap, mode, interpret)
+    lab_p = jnp.take(labels, jnp.clip(perm_dev, 0, None), axis=0)
+    U_p = jax.nn.one_hot(lab_p, k, dtype=dinv_p.dtype)
+    U_p = jnp.where((perm_dev >= 0)[:, None], U_p, 0.0)   # padding rows
+    a = dinv_p[:, None] * spmm(U_p)
+    a = dinv_p[:, None] * spmm(a)
+    return jnp.take(a, inv_dev, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("power", "m") + _STATICS)

@@ -351,12 +351,22 @@ class laplace(ssl):
         if self.reweighting == "none":
             G = self.graph
         else:
-            W = self.graph.reweight(
-                train_ind, method=self.reweighting,
-                normalization=self.normalization if self.reweighting == "poisson" else "combinatorial",
-                X=self.X, alpha=self.alpha, zeta=self.zeta, r=self.r,
-            )
-            G = _graphmod.graph(W)
+            # cache the reweighted graph per train set: repeated fits on
+            # the same split (trials, predict-after-fit) reuse the scipy
+            # build, the device transfer AND the accel caches attached to
+            # the reweighted W object
+            rkey = (self.reweighting, np.asarray(train_ind).tobytes())
+            if getattr(self, "_reweight_key", None) == rkey:
+                G = self._reweight_G
+            else:
+                W = self.graph.reweight(
+                    train_ind, method=self.reweighting,
+                    normalization=self.normalization if self.reweighting == "poisson" else "combinatorial",
+                    X=self.X, alpha=self.alpha, zeta=self.zeta, r=self.r,
+                )
+                G = _graphmod.graph(W)
+                self._reweight_key = rkey
+                self._reweight_G = G
 
         n = G.num_nodes
         k = len(np.unique(train_labels))
@@ -872,12 +882,25 @@ class volume_mbo(ssl):
 
         deg = _ops.degree_vector(g)
 
-        @jax.jit
-        def dual_conv(labels):
-            u = jax.nn.one_hot(labels, k, dtype=dtype)
-            a = _ops.spmm(g, u) / deg[:, None]
-            a = _ops.spmm(g, a) / deg[:, None]
-            return a
+        # bf16-band fast path for the dual convolution (feeds a threshold —
+        # 0.3% SpMM error immaterial); gather-path fallback otherwise
+        acc = _accel.maybe_build(W, cache_obj=self, attr="_accel_vmbo",
+                                 exact=False, fast=True)
+        if acc is not None:
+            deg_p = acc.to_perm(deg)
+            dinv_p = jnp.where(deg_p > 0,
+                               1.0 / jnp.where(deg_p == 0, 1.0, deg_p), 0.0)
+
+            def dual_conv(labels):
+                return acc.dual_conv_labels(dinv_p, labels, k)
+        else:
+
+            @jax.jit
+            def dual_conv(labels):
+                u = jax.nn.one_hot(labels, k, dtype=dtype)
+                a = _ops.spmm(g, u) / deg[:, None]
+                a = _ops.spmm(g, a) / deg[:, None]
+                return a
 
         key = jax.random.PRNGKey(self.seed)
         temp = self.temperature

@@ -234,3 +234,40 @@ def test_eigen_decomp_accel_matches_plain(knn_W, monkeypatch):
         d = min(np.abs(vecs_a[:, j] - vecs_p[:, j]).max(),
                 np.abs(vecs_a[:, j] + vecs_p[:, j]).max())
         assert d < 5e-3
+
+
+def test_volume_mbo_accel_path_matches_plain(knn_W, monkeypatch):
+    W, X = knn_W
+    labels = (X[:, 0] > 0.5).astype(int)
+    train_ind = gl.trainsets.generate(labels, rate=10, seed=6)
+    priors = np.bincount(labels) / len(labels)
+
+    from graphlearning_tpu.ops import accel as accel_mod
+
+    monkeypatch.setattr(accel_mod, "_MIN_N", 1)
+    monkeypatch.setattr(accel_mod, "enabled", lambda: True)
+    monkeypatch.setenv("GLT_ACCEL_INTERPRET", "1")
+    m = gl.ssl.volume_mbo(W, priors, temperature=0.0)
+    pred_acc = m.fit_predict(train_ind, labels[train_ind])
+    monkeypatch.setattr(accel_mod, "enabled", lambda: False)
+    m2 = gl.ssl.volume_mbo(W, priors, temperature=0.0)
+    pred_plain = m2.fit_predict(train_ind, labels[train_ind])
+    # bf16 convolution noise can flip ties near the decision boundary
+    assert np.mean(pred_acc == pred_plain) > 0.97
+
+
+def test_laplace_wnll_reweight_cache(knn_W, monkeypatch):
+    """Repeated WNLL fits on the same split reuse the reweighted graph."""
+    W, X = knn_W
+    labels = (X[:, 1] > 0.5).astype(int)
+    train_ind = gl.trainsets.generate(labels, rate=10, seed=7)
+    m = gl.ssl.laplace(W, reweighting="wnll")
+    p1 = m.fit_predict(train_ind, labels[train_ind])
+    G_cached = m._reweight_G
+    p2 = m.fit_predict(train_ind, labels[train_ind])
+    assert m._reweight_G is G_cached
+    assert np.array_equal(p1, p2)
+    # a different split invalidates the cache
+    train2 = gl.trainsets.generate(labels, rate=12, seed=8)
+    m.fit_predict(train2, labels[train2])
+    assert m._reweight_G is not G_cached

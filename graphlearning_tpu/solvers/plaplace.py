@@ -285,6 +285,27 @@ def _lip_iterate_weighted_mc(g: SparseGraph, u0, bdy_mask, gvals, tol,
     return u
 
 
+def _voronoi_init(g, bdy_set, bdy_vals):
+    """Closest-labeled-point warm start for the lip iterations: the
+    p-Laplace/AMLE one-vs-rest solutions are plateau-like away from class
+    boundaries, so the geodesic-Voronoi one-hot is sup-norm-close to the
+    fixed point and the remaining error is boundary-localized (far fewer
+    Jacobi rounds than from zeros)."""
+    from graphlearning_tpu.solvers.eikonal import dijkstra as _dijkstra
+
+    _, cp = _dijkstra(g, bdy_set, bdy_val=np.zeros(len(bdy_set)),
+                      return_cp=True)
+    cp = np.asarray(cp)
+    val_of = np.zeros((g.n,) + bdy_vals.shape[1:])
+    # cp indexes into nodes; map each node to its closest boundary node's value
+    pos_in_bdy = -np.ones(g.n, dtype=int)
+    pos_in_bdy[np.asarray(bdy_set)] = np.arange(len(bdy_set))
+    src = pos_in_bdy[np.maximum(cp, 0)]
+    ok = (cp >= 0) & (src >= 0)
+    val_of[ok] = bdy_vals[src[ok]]
+    return val_of
+
+
 def plaplace_mc(g: SparseGraph, bdy_set, bdy_vals, p, max_num_it=10**6,
                 tol=1e-1, fast=True):
     """One-vs-rest batched p-Laplace: ``bdy_vals`` is (m, C) — one column
@@ -310,8 +331,9 @@ def plaplace_mc(g: SparseGraph, bdy_set, bdy_vals, p, max_num_it=10**6,
     beta = 1.0 - alpha
     eps_floor = 100 * float(jnp.finfo(dtype).eps)
     tol_fast = max(1e-6, eps_floor)
+    u0 = _voronoi_init(g, bdy_set, bdy_vals)
     u = _lip_iterate_mc(
-        g, jnp.zeros((n, C), dtype=dtype), jnp.asarray(bdy_mask),
+        g, jnp.asarray(u0, dtype=dtype), jnp.asarray(bdy_mask),
         jnp.asarray(gvals, dtype=dtype),
         jnp.asarray(alpha, dtype=dtype), jnp.asarray(beta, dtype=dtype),
         jnp.asarray(tol_fast, dtype=dtype), int(max_num_it))
@@ -331,14 +353,15 @@ def amle_mc(g: SparseGraph, bdy_set, bdy_vals, tol=1e-5, max_num_it=10**5,
     gvals = np.zeros((n, C))
     gvals[bdy_set] = bdy_vals
     tol = max(tol, 100 * float(jnp.finfo(dtype).eps))
+    u0 = _voronoi_init(g, bdy_set, bdy_vals)
     if weighted:
         u = _lip_iterate_weighted_mc(
-            g, jnp.zeros((n, C), dtype=dtype), jnp.asarray(bdy_mask),
+            g, jnp.asarray(u0, dtype=dtype), jnp.asarray(bdy_mask),
             jnp.asarray(gvals, dtype=dtype), jnp.asarray(tol, dtype=dtype),
             int(max_num_it))
     else:
         u = _lip_iterate_mc(
-            g, jnp.zeros((n, C), dtype=dtype), jnp.asarray(bdy_mask),
+            g, jnp.asarray(u0, dtype=dtype), jnp.asarray(bdy_mask),
             jnp.asarray(gvals, dtype=dtype),
             jnp.asarray(0.0, dtype=dtype), jnp.asarray(1.0, dtype=dtype),
             jnp.asarray(tol, dtype=dtype), int(max_num_it))

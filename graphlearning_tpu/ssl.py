@@ -163,25 +163,25 @@ class ssl:
 
     def volume_label_projection(self):
         """Gradient loop on per-class decision weights until predicted class
-        sizes match ``class_priors``."""
+        sizes match ``class_priors`` (reference ssl.py:172-209).  Runs as
+        ONE jitted ``lax.while_loop`` on device — the reference's host loop
+        recomputes an (n, k) argmin per step, up to 1e4 times per call."""
         k = self.prob.shape[1]
         if isinstance(self.weights, int):
             self.weights = np.ones((k,))
-        dt = 0.1 * (-1 if self.similarity else 1)
-        # NOTE reference flips sign for similarity scores (ssl.py:190-192):
-        # dt *= -1 when similarity
+        # NOTE reference flips sign for similarity scores (ssl.py:190-192)
         dt = -0.1 if self.similarity else 0.1
-        i, err = 0, 1.0
-        while i < 1e4 and err > 1e-3:
-            i += 1
-            class_size = np.mean(
-                utils.labels_to_onehot(self.predict(), k), axis=0
-            )
-            grad = class_size - self.class_priors
-            err = np.max(np.abs(grad))
-            self.weights = self.weights + dt * grad
-            self.weights = self.weights / self.weights[0]
-        self.class_priors_error = err
+        scores = self.prob - np.min(self.prob)
+        m = np.max(scores)
+        if m > 0:
+            scores = scores / m
+        w, err = _volume_projection_loop(
+            jnp.asarray(scores, dtype=config.float_dtype()),
+            jnp.asarray(self.weights, dtype=config.float_dtype()),
+            jnp.asarray(self.class_priors, dtype=config.float_dtype()),
+            dt, similarity=bool(self.similarity))
+        self.weights = np.asarray(w, dtype=float)
+        self.class_priors_error = float(err)
         return self.predict()
 
     # -- fitting (reference ssl.py:439-481) -------------------------------
@@ -285,6 +285,34 @@ class ssl:
 
 
 # -- accuracy (reference ssl.py:1795-1834) --------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("similarity",))
+def _volume_projection_loop(scores, weights, priors, dt, *, similarity):
+    """Device version of the reference's class-size gradient loop
+    (ssl.py:172-209): iterate ``w += dt*(class_size(w) - priors)``,
+    ``w /= w[0]`` until ``max|grad| <= 1e-3`` or 1e4 steps."""
+    k = scores.shape[1]
+
+    def cond(state):
+        w, err, i = state
+        return jnp.logical_and(i < 10**4, err > 1e-3)
+
+    def body(state):
+        w, err, i = state
+        sw = scores * w
+        pred = jnp.argmax(sw, axis=1) if similarity else jnp.argmin(sw, axis=1)
+        class_size = jnp.mean(jax.nn.one_hot(pred, k, dtype=scores.dtype),
+                              axis=0)
+        grad = class_size - priors
+        err = jnp.max(jnp.abs(grad))
+        w = w + dt * grad
+        return w / w[0], err, i + 1
+
+    w, err, _ = jax.lax.while_loop(
+        cond, body, (weights, jnp.asarray(1.0, scores.dtype),
+                     jnp.asarray(0)))
+    return w, err
 
 
 def ssl_accuracy(pred_labels, true_labels, train_ind=None):

@@ -63,21 +63,24 @@ class spectral(clustering):
         self.extra_dim = extra_dim
 
     def _fit(self, all_labels=None):
-        import sklearn.cluster as cluster
+        from graphlearning_tpu.solvers.kmeans import kmeans
 
         k = self.num_clusters + self.extra_dim
+        # keep the (n, k) embedding on device: row normalization + the
+        # multi-restart k-means run there, only int32 labels come back
         if self.method == "combinatorial":
-            vals, vec = self.graph.eigen_decomp(k=k)
+            vals, vec = self.graph.eigen_decomp_device(k=k)
         elif self.method == "ShiMalik":
-            vals, vec = self.graph.eigen_decomp(normalization="randomwalk", k=k)
+            vals, vec = self.graph.eigen_decomp_device(
+                normalization="randomwalk", k=k)
         elif self.method == "NgJordanWeiss":
-            vals, vec = self.graph.eigen_decomp(normalization="normalized", k=k)
-            norms = np.sqrt(np.sum(vec * vec, axis=1))
-            vec = vec / np.maximum(norms[:, None], 1e-30)
+            vals, vec = self.graph.eigen_decomp_device(
+                normalization="normalized", k=k)
+            norms = jnp.sqrt(jnp.sum(vec * vec, axis=1))
+            vec = vec / jnp.maximum(norms[:, None], 1e-30)
         else:
             sys.exit("Invalid spectral clustering method " + self.method)
-        km = cluster.KMeans(n_clusters=self.num_clusters, n_init=10).fit(vec)
-        return km.labels_
+        return kmeans(vec, self.num_clusters, n_init=10)
 
 
 class fokker_planck(clustering):

@@ -33,12 +33,36 @@ class graph:
         elif isinstance(W, SparseGraph):
             self.g = W
         else:
-            self.g = SparseGraph.from_scipy(W, k=k, dtype=dtype)
+            # cross-instance device-graph cache: repeated model constructions
+            # on the SAME scipy matrix (the ssl_trials / benchmark pattern)
+            # reuse the already-transferred padded-ELL arrays instead of
+            # paying scipy→ELL assembly + a host→device transfer per
+            # instance (~2 s at n=70k through the remote-TPU tunnel).
+            # Same convention as ops.accel's _glt_accel_cache: keyed on
+            # construction params, validated against (shape, nnz).
+            import scipy.sparse as sp
+
+            self.g = None
+            ckey = None
+            if sp.issparse(W):
+                ckey = (k, str(dtype) if dtype is not None else None)
+                cached = getattr(W, "_glt_sparsegraph", None)
+                if isinstance(cached, dict):
+                    hit = cached.get(ckey)
+                    if hit is not None and hit[1] == (W.shape[0], W.nnz):
+                        self.g = hit[0]
+            if self.g is None:
+                self.g = SparseGraph.from_scipy(W, k=k, dtype=dtype)
+                if ckey is not None:
+                    try:
+                        if not isinstance(getattr(W, "_glt_sparsegraph", None), dict):
+                            W._glt_sparsegraph = {}
+                        W._glt_sparsegraph[ckey] = (self.g, (W.shape[0], W.nnz))
+                    except Exception:  # W type refuses attributes — skip
+                        pass
             # keep the ORIGINAL scipy object: avoids a device→host rebuild
             # in .weight_matrix and preserves caches attached to it (e.g.
             # the banded-accel graph cache, ops.accel.maybe_build)
-            import scipy.sparse as sp
-
             if sp.issparse(W):
                 self._scipy = W.tocsr() if W.format != "csr" else W
         self.num_nodes = self.g.n
@@ -278,6 +302,18 @@ class graph:
             )
         vals, vecs = cache[key]
         return np.asarray(vals), np.asarray(vecs)
+
+    def eigen_decomp_device(self, **kw):
+        """Same as :meth:`eigen_decomp` (and same memo cache) but returns
+        the device (jax) arrays — callers that keep working on device
+        (e.g. spectral clustering's k-means) avoid a device→host transfer
+        of the full (n, k) eigenvector block through the TPU tunnel."""
+        self.eigen_decomp(**kw)
+        key = tuple(kw.get(name, default) for name, default in (
+            ("normalization", "combinatorial"), ("method", "exact"),
+            ("k", 10), ("c", None), ("gamma", 0), ("tol", 0), ("q", 1)))
+        vals, vecs = self.eigendata[key[0]][key]
+        return jnp.asarray(vals), jnp.asarray(vecs)
 
     def fiedler_vector(self, method="exact", tol=0):
         vals, vecs = self.eigen_decomp(normalization="normalized", method=method, k=2, tol=tol)

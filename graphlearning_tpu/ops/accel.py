@@ -248,6 +248,7 @@ class AccelSpMM:
         pos_of[order] = pos
         self.inv = pos_of                     # original node -> padded row
         self.Wwin, self.kcap = Wwin, kcap
+        self.n_resid = len(rrows)             # host-side count (cost model)
         self._plan_dev = (jnp.asarray(winstart), jnp.asarray(rrows),
                           jnp.asarray(rslots))
         # regrouped residual (ELL + spill) — scatter-free application
@@ -590,7 +591,10 @@ _HBM_BPS = 700e9          # sustainable v5e HBM stream rate (of 819 peak)
 
 
 def _hybrid_estimate(acc: AccelSpMM, d_pad: int = 128) -> float:
-    resid = len(np.asarray(acc._plan_dev[1])) * _GATHER_NS
+    # host-side count — np.asarray(acc._plan_dev[1]) here would block on a
+    # device round-trip through the TPU tunnel (measured minutes of stall
+    # when queued behind the build's H2D transfers)
+    resid = acc.n_resid * _GATHER_NS
     if acc.materialize:
         # steady-state: stream the stored band from HBM + MXU passes
         passes = 1 if acc._band_dtype == jnp.bfloat16 else _PASSES.get(

@@ -147,7 +147,7 @@ def eigen_decomp(g: SparseGraph, normalization="combinatorial", method="exact",
         vals, vecs = smallest_eigh(Mop, n, k, shift, tol=tol)
         if normalization == "randomwalk":
             vecs = vecs / jnp.sqrt(deg)[:, None]
-        return np.asarray(vals), np.asarray(vecs)
+        return vals, vecs
 
     if normalization in ("randomwalk", "normalized"):
         s = 1.0 / jnp.sqrt(deg)
@@ -187,7 +187,7 @@ def eigen_decomp(g: SparseGraph, normalization="combinatorial", method="exact",
             raise ValueError("Invalid eigensolver method " + method)
         if normalization == "randomwalk":
             vecs = s[:, None] * vecs
-        return np.asarray(vals), np.asarray(vecs)
+        return vals, vecs
 
     elif normalization == "combinatorial":
         M = 2.0 * jnp.max(deg)
@@ -214,7 +214,7 @@ def eigen_decomp(g: SparseGraph, normalization="combinatorial", method="exact",
             raise ValueError("Invalid eigensolver method " + method)
         vals = M - theta
         order = jnp.argsort(vals)
-        return np.asarray(vals[order]), np.asarray(U[:, order])
+        return vals[order], U[:, order]
 
     elif normalization == "coifmanlafon":
         # density-normalized kernel K = D^-a W D^-a, then randomwalk
@@ -236,7 +236,7 @@ def eigen_decomp(g: SparseGraph, normalization="combinatorial", method="exact",
         vals = 2.0 - _rayleigh(A, U)
         order = jnp.argsort(vals)
         vecs = sK[:, None] * U[:, order]
-        return np.asarray(vals[order]), np.asarray(vecs)
+        return vals[order], vecs
 
     raise ValueError("Invalid choice of normalization " + normalization)
 

@@ -389,6 +389,42 @@ class AccelSpMM:
             jnp.asarray(labels), self._perm_dev, self._inv_dev,
             k=int(k), **self._statics())
 
+    def bellman_ford(self, d0, f, hopf_lax: bool = False,
+                     max_iter: int = 10**6):
+        """Distance iteration to the Dijkstra/Hopf-Lax fixed point on the
+        materialized band (min-plus streaming instead of XLA gather,
+        ~20x at n=70k) + shortest-path-tree closest-point recovery by
+        pointer doubling.  Takes/returns ORIGINAL-order device arrays
+        ``(d, cp)``; requires ``self.materialize``."""
+        big = jnp.float32(_PL_BIG)
+        d0_p = self.to_perm(jnp.asarray(d0, jnp.float32), fill=big)
+        f_p = self.to_perm(jnp.asarray(f, jnp.float32), fill=0.0)
+        d_p, root_p = _bellman_ford_accel(
+            self.g, self.band(), self._resid, *self._plan_dev, d0_p, f_p,
+            hopf_lax=bool(hopf_lax), **self._statics(max_iter=int(max_iter)))
+        d = self.from_perm(d_p)
+        root = jnp.take(root_p, self._inv_dev)
+        cp = jnp.where(root >= 0,
+                       jnp.take(self._perm_dev, jnp.clip(root, 0, None)),
+                       -1).astype(jnp.int32)
+        return d, cp
+
+    def volume_mbo(self, dinv_p, labels0, fixed_mask, fixed_labels, lower,
+                   upper, temp, key, k: int, max_iters: int):
+        """FULL VolumeMBO loop (dual convolution + annealed Gumbel +
+        volume-constrained assignment + stopping rule) as ONE jitted
+        program — the eager per-iteration variant pays ~8 tunnel dispatches
+        plus a label round-trip per MBO step.  Labels stay in ORIGINAL node
+        order (permutation gathers ride inside the program)."""
+        band = self.band() if self.materialize else None
+        return _volume_mbo_accel(
+            self.g, band, self._resid, *self._plan_dev, dinv_p,
+            jnp.asarray(labels0), self._perm_dev, self._inv_dev,
+            fixed_mask, fixed_labels, lower, upper,
+            jnp.asarray(temp, dinv_p.dtype), key,
+            k=int(k), max_iters=int(max_iters), n_true=int(self.n),
+            **self._statics())
+
     def poisson_gd(self, deg_p, Db_p, v0_p, min_iter: int, max_iter: int,
                    n_true: int):
         """Poisson-learning gradient descent ``u ← Db + D^{-1} W u`` with
@@ -514,6 +550,95 @@ def _dual_conv_labels_accel(gp, band, resid, winstart, rrows, rslots, dinv_p,
     a = dinv_p[:, None] * spmm(U_p)
     a = dinv_p[:, None] * spmm(a)
     return jnp.take(a, inv_dev, axis=0)
+
+
+_PL_BIG = 1e30      # pallas_spmm._MINPLUS_BIG (unreached sentinel)
+
+
+@functools.partial(jax.jit, static_argnames=("hopf_lax",) + _STATICS)
+def _bellman_ford_accel(gp, band, resid, winstart, rrows, rslots, d0_p, f_p,
+                        *, hopf_lax, Wwin, R, WT, kcap, mode, interpret,
+                        max_iter):
+    """Min-plus Bellman-Ford on the band (reference heap Dijkstra,
+    hjsolvers.cpp:117-227; same fixed point, data-parallel rounds).
+    Returns ``(d_p, root_p)`` where ``root_p`` is the permuted index of
+    each node's closest seed (-1 unreached)."""
+    from graphlearning_tpu.ops.pallas_spmm import (
+        band_minplus, residual_minplus)
+
+    big = jnp.float32(_PL_BIG)
+    n = d0_p.shape[0]
+
+    def relax(d, track):
+        out = band_minplus(band, winstart, d, f_p, R=R, WT=WT,
+                           hopf_lax=hopf_lax, track_arg=track,
+                           interpret=interpret)
+        bmin = out[:, 0]
+        barg = out[:, 1].astype(jnp.int32)
+        if resid is not None:
+            rmin, rarg = residual_minplus(d, f_p, resid, hopf_lax=hopf_lax,
+                                          track_arg=track)
+            if track:
+                barg = jnp.where(bmin <= rmin, barg, rarg)
+            bmin = jnp.minimum(bmin, rmin)
+        return bmin, barg
+
+    def body(state):
+        d, err, it = state
+        bmin, _ = relax(d, False)
+        d_new = jnp.minimum(d, bmin)
+        return d_new, jnp.max(d - d_new), it + 1
+
+    def cond(state):
+        d, err, it = state
+        return jnp.logical_and(err > 0, it < max_iter)
+
+    d, _, _ = jax.lax.while_loop(
+        cond, body, (d0_p, jnp.asarray(jnp.inf, jnp.float32), 0))
+
+    # shortest-path-tree parents at the fixed point: a node that took a
+    # candidate satisfies d == min-candidate exactly (same f32 ops), a
+    # seed that was never improved keeps pmin > d and parents to itself
+    pmin, parg = relax(d, True)
+    own = jnp.arange(n, dtype=jnp.int32)
+    seeded = d0_p < big
+    parent = jnp.where(pmin <= d, parg, jnp.where(seeded, own, -1))
+    parent = jnp.where(d >= 0.5 * big, -1, parent)     # unreached: no tree
+
+    # pointer doubling to the root seed (log2(diameter) rounds)
+    def dbl(_, p):
+        return jnp.where(p >= 0, jnp.take(p, jnp.clip(p, 0, None)), -1)
+
+    hops = max(1, int(np.ceil(np.log2(max(2, n)))))
+    root = jax.lax.fori_loop(0, hops, dbl, parent)
+    return d, root
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "max_iters", "n_true") + _STATICS)
+def _volume_mbo_accel(gp, band, resid, winstart, rrows, rslots, dinv_p,
+                      labels0, perm_dev, inv_dev, fixed_mask, fixed_labels,
+                      lower, upper, temp, key, *, k, max_iters, n_true,
+                      Wwin, R, WT, kcap, mode, interpret, max_iter=0):
+    """Fused VolumeMBO (reference run_mbo, mbo_convolution.cpp:1029-1161):
+    the whole threshold-dynamics fixed point runs on device; one dispatch
+    per fit, one int-label transfer back."""
+    from graphlearning_tpu.solvers import volume as _volume
+
+    spmm = _make_spmm(gp, band, resid, winstart, rrows, rslots, Wwin, R, WT,
+                      kcap, mode, interpret)
+
+    def dual_conv(labels):
+        lab_p = jnp.take(labels, jnp.clip(perm_dev, 0, None), axis=0)
+        U_p = jax.nn.one_hot(lab_p, k, dtype=dinv_p.dtype)
+        U_p = jnp.where((perm_dev >= 0)[:, None], U_p, 0.0)  # padding rows
+        a = dinv_p[:, None] * spmm(U_p)
+        a = dinv_p[:, None] * spmm(a)
+        return jnp.take(a, inv_dev, axis=0)
+
+    return _volume.mbo_loop(dual_conv, labels0, fixed_mask, fixed_labels,
+                            lower, upper, temp, key, n_true=n_true,
+                            max_iters=max_iters)
 
 
 @functools.partial(jax.jit, static_argnames=("power", "m") + _STATICS)

@@ -298,6 +298,145 @@ def band_spmm(band, winstart, X, R: int = 512, WT: int = 1024,
     )(winstart, band, X)
 
 
+# -- min-plus (tropical) band kernel ---------------------------------------
+#
+# Bellman-Ford / Hopf-Lax distance relaxation over the materialized band:
+# ``out[i] = min over window cols c with band[i,c] > 0 of update(d[c],
+# band[i,c], f[c])``.  The XLA gather formulation costs ~30ns/edge; the
+# band formulation streams the stored band at HBM rate (same trade as the
+# SpMM above).  Zero band cells mean "no edge" — valid because graph
+# weights are strictly positive (kNN kernels; reference dijkstra assumes
+# positive costs, hjsolvers.cpp:117-227).
+
+_MINPLUS_BIG = 1e30
+
+
+def _band_minplus_kernel(winstart_ref, band_ref, df_ref, out_ref,
+                         *, WT: int, hopf_lax: bool, track_arg: bool):
+    i = pl.program_id(0)
+    t = pl.program_id(1)
+    base = winstart_ref[i] + t * WT
+
+    A = band_ref[:].astype(jnp.float32)              # (R, WT)
+    dwin = df_ref[0, :][None, :]                     # (1, WT) distances
+    fwin = df_ref[1, :][None, :]                     # (1, WT) speed values
+    if hopf_lax:
+        fw = A * fwin
+        cand = 0.5 * (fw + jnp.sqrt(fw * fw + 4.0 * dwin * dwin))
+    else:
+        cand = dwin + A * fwin
+    cand = jnp.where(A > 0, cand, _MINPLUS_BIG)
+    m = jnp.min(cand, axis=1)                        # (R,)
+
+    R = A.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.full_like(out_ref, _MINPLUS_BIG)
+
+    cur = out_ref[:]                                  # (R, 128)
+    if track_arg:
+        # argmin via equality match (portable: two lane reduces, no
+        # argmin primitive); ties resolve to the smallest window column
+        wlane = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1)
+        hit = cand == m[:, None]
+        a = jnp.min(jnp.where(hit, wlane, jnp.int32(2**30)), axis=1)
+        absidx = (a + base).astype(jnp.float32)       # exact below 2^24
+        better = m < cur[:, 0]
+        col0 = jnp.where(better, m, cur[:, 0])
+        col1 = jnp.where(better, absidx, cur[:, 1])
+        out_ref[:] = jnp.where(
+            lane == 0, col0[:, None],
+            jnp.where(lane == 1, col1[:, None], cur))
+    else:
+        out_ref[:] = jnp.where(
+            lane == 0, jnp.minimum(cur[:, 0], m)[:, None], cur)
+
+
+def band_minplus(band, winstart, d, f, R: int = 512, WT: int = 1024,
+                 hopf_lax: bool = False, track_arg: bool = False,
+                 interpret: bool = False):
+    """One min-plus relaxation round over the band.  Returns an (n, 128)
+    f32 array: column 0 = per-row min candidate (``_MINPLUS_BIG`` where the
+    window holds no edge), column 1 (when ``track_arg``) = float-encoded
+    absolute column index of the argmin (shortest-path-tree parent)."""
+    n, W = band.shape
+    WT = min(WT, W)
+    assert n % R == 0 and n % WT == 0 and W % WT == 0, (n, R, W, WT)
+    df = jnp.zeros((8, n), jnp.float32).at[0].set(d).at[1].set(f)
+    grid = (n // R, W // WT)
+    kernel = functools.partial(_band_minplus_kernel, WT=WT,
+                               hopf_lax=hopf_lax, track_arg=track_arg)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((R, WT), lambda i, t, ws: (i, t),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, WT), lambda i, t, ws: (0, ws[i] // WT + t),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, 128), lambda i, t, ws: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        interpret=interpret,
+    )(winstart, band, df)
+
+
+def residual_minplus(d, f, resid, hopf_lax: bool = False,
+                     track_arg: bool = False):
+    """Min-plus contribution of the out-of-window residual edges
+    (structure from :func:`build_residual_ell`; zero-valued slots are
+    padding, masked out).  Returns ``(min, argmin)`` over residual edges
+    per row (``_MINPLUS_BIG`` / -1 where none)."""
+    urows, rcols, rvals, inv_map, sp_r, sp_c, sp_v = resid
+    n = d.shape[0]
+    best = jnp.full((n,), _MINPLUS_BIG, jnp.float32)
+    arg = jnp.full((n,), -1, jnp.int32)
+
+    def upd(cand, cols, valid):
+        cand = jnp.where(valid, cand, _MINPLUS_BIG)
+        m = jnp.min(cand, axis=1)
+        slot = jnp.argmin(cand, axis=1)
+        a = jnp.take_along_axis(cols, slot[:, None], axis=1)[:, 0]
+        return m, a
+
+    if rcols.shape[0]:
+        dn = jnp.take(d, rcols, axis=0)
+        fn = jnp.take(f, rcols, axis=0)
+        if hopf_lax:
+            fw = rvals * fn
+            cand = 0.5 * (fw + jnp.sqrt(fw * fw + 4.0 * dn * dn))
+        else:
+            cand = dn + rvals * fn
+        m, a = upd(cand, rcols, rvals > 0)
+        best = best.at[urows].set(m)
+        arg = arg.at[urows].set(jnp.where(m < _MINPLUS_BIG, a, -1))
+    if sp_r.shape[0]:
+        dn = jnp.take(d, sp_c)
+        fn = jnp.take(f, sp_c)
+        if hopf_lax:
+            fw = sp_v * fn
+            cand = 0.5 * (fw + jnp.sqrt(fw * fw + 4.0 * dn * dn))
+        else:
+            cand = dn + sp_v * fn
+        cand = jnp.where(sp_v > 0, cand, _MINPLUS_BIG)
+        prev = best[sp_r]
+        best = best.at[sp_r].min(cand)
+        if track_arg:
+            # one pass is enough: duplicate sp rows are rare (hub spill)
+            took = best[sp_r] < prev
+            arg = arg.at[sp_r].set(jnp.where(took & (cand <= best[sp_r]),
+                                             sp_c, arg[sp_r]))
+    if not track_arg:
+        return best, None
+    return best, arg
+
+
 def build_residual_ell(rrows, rslots, cols_np, vals_np, n_pad: int,
                        rb: int | None = None):
     """Host-side residual regrouping: the naive per-edge ``out.at[rows].add``

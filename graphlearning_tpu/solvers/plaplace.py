@@ -285,7 +285,7 @@ def _lip_iterate_weighted_mc(g: SparseGraph, u0, bdy_mask, gvals, tol,
     return u
 
 
-def _voronoi_init(g, bdy_set, bdy_vals):
+def _voronoi_init(g, bdy_set, bdy_vals, accel=None):
     """Closest-labeled-point warm start for the lip iterations: the
     p-Laplace/AMLE one-vs-rest solutions are plateau-like away from class
     boundaries, so the geodesic-Voronoi one-hot is sup-norm-close to the
@@ -294,7 +294,7 @@ def _voronoi_init(g, bdy_set, bdy_vals):
     from graphlearning_tpu.solvers.eikonal import dijkstra as _dijkstra
 
     _, cp = _dijkstra(g, bdy_set, bdy_val=np.zeros(len(bdy_set)),
-                      return_cp=True)
+                      return_cp=True, accel=accel)
     cp = np.asarray(cp)
     val_of = np.zeros((g.n,) + bdy_vals.shape[1:])
     # cp indexes into nodes; map each node to its closest boundary node's value
@@ -307,7 +307,7 @@ def _voronoi_init(g, bdy_set, bdy_vals):
 
 
 def plaplace_mc(g: SparseGraph, bdy_set, bdy_vals, p, max_num_it=10**6,
-                tol=1e-1, fast=True):
+                tol=1e-1, fast=True, accel=None):
     """One-vs-rest batched p-Laplace: ``bdy_vals`` is (m, C) — one column
     per class — solved jointly.  ``fast`` path only (the lp_iterate
     sandwich stays per-class)."""
@@ -330,8 +330,11 @@ def plaplace_mc(g: SparseGraph, bdy_set, bdy_vals, p, max_num_it=10**6,
     alpha = 1.0 / (p - 1.0)
     beta = 1.0 - alpha
     eps_floor = 100 * float(jnp.finfo(dtype).eps)
-    tol_fast = max(1e-6, eps_floor)
-    u0 = _voronoi_init(g, bdy_set, bdy_vals)
+    # honor the caller's tolerance (the ssl fast path passes the
+    # reference's 1e-5, ssl.py plaplace.__init__; the default 1e-1 belongs
+    # to the lp_iterate sandwich — map it to 1e-5 here); clamp to f32 floor
+    tol_fast = max(tol if tol < 1e-1 else 1e-5, eps_floor)
+    u0 = _voronoi_init(g, bdy_set, bdy_vals, accel=accel)
     u = _lip_iterate_mc(
         g, jnp.asarray(u0, dtype=dtype), jnp.asarray(bdy_mask),
         jnp.asarray(gvals, dtype=dtype),
@@ -341,7 +344,7 @@ def plaplace_mc(g: SparseGraph, bdy_set, bdy_vals, p, max_num_it=10**6,
 
 
 def amle_mc(g: SparseGraph, bdy_set, bdy_vals, tol=1e-5, max_num_it=10**5,
-            weighted=True):
+            weighted=True, accel=None):
     """One-vs-rest batched AMLE: ``bdy_vals`` is (m, C)."""
     dtype = g.vals.dtype
     n = g.n
@@ -353,7 +356,7 @@ def amle_mc(g: SparseGraph, bdy_set, bdy_vals, tol=1e-5, max_num_it=10**5,
     gvals = np.zeros((n, C))
     gvals[bdy_set] = bdy_vals
     tol = max(tol, 100 * float(jnp.finfo(dtype).eps))
-    u0 = _voronoi_init(g, bdy_set, bdy_vals)
+    u0 = _voronoi_init(g, bdy_set, bdy_vals, accel=accel)
     if weighted:
         u = _lip_iterate_weighted_mc(
             g, jnp.asarray(u0, dtype=dtype), jnp.asarray(bdy_mask),

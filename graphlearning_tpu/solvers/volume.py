@@ -1,0 +1,119 @@
+"""Volume-constrained label assignment — traceable core.
+
+The reference implements Jacobs-Merkurjev-Esedoḡlu auction dynamics
+(sequential bidding with per-class heaps, ``mbo_convolution.cpp:16-316``).
+The TPU-native equivalent solves the same dual problem: find per-class
+prices ``p_c`` such that ``labels = argmax_c (a_ic + p_c)`` satisfies the
+volume bounds — all nodes bid in parallel each round and prices adjust by
+the count violation (SURVEY.md §2.2 'batched/Jacobi auction'), followed by
+an exact one-node-per-round feasibility repair.
+
+This module holds the *traceable* function so both the eager-per-iteration
+path (``ssl._volume_assignment``) and the fully fused on-device MBO loops
+(``ops.accel._volume_mbo_accel``, ``ssl._volume_mbo_loop``) share it.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def assign_labels(a, fixed_mask, fixed_labels, lower, upper,
+                  max_price_it: int = 500):
+    """Traceable volume-constrained assignment (see module docstring).
+
+    ``a``: (n, k) affinities.  Returns int labels of shape (n,) satisfying
+    ``lower <= counts <= upper`` (training nodes pinned to
+    ``fixed_labels``), matching the serial auction's feasible set.
+    """
+    n, k = a.shape
+    scale = jnp.max(a) - jnp.min(a) + 1e-8
+    neg_big = jnp.asarray(jnp.finfo(a.dtype).min, a.dtype)
+
+    def body(state):
+        p, it, done = state
+        scores = a + p[None, :]
+        labels = jnp.argmax(scores, axis=1)
+        labels = jnp.where(fixed_mask, fixed_labels, labels)
+        counts = jnp.sum(jax.nn.one_hot(labels, k, dtype=a.dtype), axis=0)
+        over = jnp.maximum(counts - upper, 0.0)
+        under = jnp.maximum(lower - counts, 0.0)
+        grad = (under - over) / n
+        done = jnp.max(over + under) == 0
+        # freeze p once feasible so the post-loop argmax reproduces the
+        # feasible labeling (an extra step can break counts by one)
+        p_new = p + scale * 0.5 * grad
+        p_new = p_new - jnp.mean(p_new)
+        p = jnp.where(done, p, p_new)
+        return p, it + 1, done
+
+    def cond(state):
+        p, it, done = state
+        return jnp.logical_and(~done, it < max_price_it)
+
+    p0 = jnp.zeros((k,), dtype=a.dtype)
+    p, _, _ = jax.lax.while_loop(cond, body, (p0, 0, jnp.asarray(False)))
+    labels = jnp.argmax(a + p[None, :], axis=1)
+    labels = jnp.where(fixed_mask, fixed_labels, labels)
+
+    # exact-feasibility repair: the price ascent can stall one unit off
+    # (the serial auction in the reference is exact by construction).
+    # Each round moves one movable node from the most over-full class to
+    # the most under-full class, choosing the node losing least score.
+    def rcond(state):
+        labels, it = state
+        counts = jnp.sum(jax.nn.one_hot(labels, k, dtype=a.dtype), axis=0)
+        bad = jnp.logical_or(jnp.any(counts > upper),
+                             jnp.any(counts < lower))
+        return jnp.logical_and(bad, it < n)
+
+    def rbody(state):
+        labels, it = state
+        counts = jnp.sum(jax.nn.one_hot(labels, k, dtype=a.dtype), axis=0)
+        co = jnp.argmax(counts - upper)   # most over-full
+        cu = jnp.argmax(lower - counts)   # most under-full
+        movable = jnp.logical_and(labels == co, ~fixed_mask)
+        margin = jnp.where(movable, a[:, cu] - a[:, co], neg_big)
+        i = jnp.argmax(margin)
+        labels = labels.at[i].set(cu.astype(labels.dtype))
+        return labels, it + 1
+
+    labels, _ = jax.lax.while_loop(rcond, rbody, (labels, 0))
+    return labels
+
+
+def mbo_loop(dual_conv, labels0, fixed_mask, fixed_labels, lower, upper,
+             temp, key, n_true: int, max_iters: int,
+             max_price_it: int = 500):
+    """Traceable full VolumeMBO fixed-point loop (reference ``run_mbo`` /
+    ``run_mbo_with_temperature``, mbo_convolution.cpp:1029-1161): per
+    iteration one dual graph convolution of the current one-hot labels, an
+    annealed-Gumbel perturbation (temperature thresholding analogue), and
+    a volume-constrained assignment; stops when no label changes (past the
+    annealing window when temp > 0).
+
+    ``dual_conv``: traceable (n,) int labels -> (n, k) affinities.
+    """
+    def cond(state):
+        labels, key, it, stop = state
+        return jnp.logical_and(~stop, it < max_iters)
+
+    def body(state):
+        labels, key, it, stop = state
+        a = dual_conv(labels)
+        key, sub = jax.random.split(key)
+        noise = jax.random.gumbel(sub, a.shape, dtype=a.dtype)
+        a = a + jnp.where(temp > 0,
+                          (temp / (it + 1.0)) * noise / n_true, 0.0)
+        new_labels = assign_labels(a, fixed_mask, fixed_labels, lower,
+                                   upper, max_price_it=max_price_it)
+        new_labels = new_labels.astype(labels.dtype)
+        changed = jnp.sum(new_labels != labels)
+        stop = jnp.logical_and(changed == 0,
+                               jnp.logical_or(temp == 0, it > 10))
+        return new_labels, key, it + 1, stop
+
+    state = (labels0, key, jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    labels, _, iters, _ = jax.lax.while_loop(cond, body, state)
+    return labels, iters

@@ -774,75 +774,34 @@ class poisson_mbo(ssl):
 
 def _volume_assignment(a, fixed_mask, fixed_labels, lower, upper, target,
                        max_price_it=500):
-    """Volume-constrained label assignment by dual price ascent.
+    """Volume-constrained label assignment by dual price ascent
+    (traceable core in :mod:`graphlearning_tpu.solvers.volume`; the
+    reference's serial auction is ``mbo_convolution.cpp:16-316``)."""
+    from graphlearning_tpu.solvers import volume as _volume
 
-    The reference implements Jacobs-Merkurjev-Esedoḡlu auction dynamics
-    (sequential bidding with per-class heaps, ``mbo_convolution.cpp:16-316``).
-    The TPU-native equivalent solves the same dual problem: find per-class
-    prices p_c such that ``labels = argmax_c (a_ic + p_c)`` satisfies the
-    volume bounds — all nodes bid in parallel each round and prices adjust
-    by the count violation (SURVEY.md §2.2 'batched/Jacobi auction')."""
-    n, k = a.shape
+    run = jax.jit(functools.partial(_volume.assign_labels,
+                                    max_price_it=max_price_it))
+    return run(a, fixed_mask, fixed_labels, lower, upper)
 
-    @jax.jit
-    def run(a):
-        scale = jnp.max(a) - jnp.min(a) + 1e-8
-        neg_big = jnp.asarray(jnp.finfo(a.dtype).min, a.dtype)
 
-        def body(state):
-            p, it, done = state
-            scores = a + p[None, :]
-            labels = jnp.argmax(scores, axis=1)
-            labels = jnp.where(fixed_mask, fixed_labels, labels)
-            counts = jnp.sum(
-                jax.nn.one_hot(labels, k, dtype=a.dtype), axis=0
-            )
-            over = jnp.maximum(counts - upper, 0.0)
-            under = jnp.maximum(lower - counts, 0.0)
-            grad = (under - over) / n
-            done = jnp.max(over + under) == 0
-            # freeze p once feasible so the post-loop argmax reproduces the
-            # feasible labeling (an extra step can break counts by one)
-            p_new = p + scale * 0.5 * grad
-            p_new = p_new - jnp.mean(p_new)
-            p = jnp.where(done, p, p_new)
-            return p, it + 1, done
+@functools.partial(jax.jit, static_argnames=("k", "max_iters", "n_true"))
+def _volume_mbo_loop_xla(g, deg, labels0, fixed_mask, fixed_labels, lower,
+                         upper, temp, key, *, k, max_iters, n_true):
+    """Fused VolumeMBO loop on the gather-path SpMM (graphs where the
+    banded accel kernel doesn't apply); accel counterpart is
+    ``ops.accel._volume_mbo_accel``."""
+    from graphlearning_tpu.solvers import volume as _volume
 
-        def cond(state):
-            p, it, done = state
-            return jnp.logical_and(~done, it < max_price_it)
+    dinv = jnp.where(deg > 0, 1.0 / jnp.where(deg == 0, 1.0, deg), 0.0)
 
-        p0 = jnp.zeros((k,), dtype=a.dtype)
-        p, _, _ = jax.lax.while_loop(cond, body, (p0, 0, jnp.asarray(False)))
-        labels = jnp.argmax(a + p[None, :], axis=1)
-        labels = jnp.where(fixed_mask, fixed_labels, labels)
+    def dual_conv(labels):
+        u = jax.nn.one_hot(labels, k, dtype=deg.dtype)
+        a = dinv[:, None] * _ops.spmm(g, u)
+        return dinv[:, None] * _ops.spmm(g, a)
 
-        # exact-feasibility repair: the price ascent can stall one unit off
-        # (the serial auction in the reference is exact by construction).
-        # Each round moves one movable node from the most over-full class to
-        # the most under-full class, choosing the node losing least score.
-        def rcond(state):
-            labels, it = state
-            counts = jnp.sum(jax.nn.one_hot(labels, k, dtype=a.dtype), axis=0)
-            bad = jnp.logical_or(jnp.any(counts > upper),
-                                 jnp.any(counts < lower))
-            return jnp.logical_and(bad, it < n)
-
-        def rbody(state):
-            labels, it = state
-            counts = jnp.sum(jax.nn.one_hot(labels, k, dtype=a.dtype), axis=0)
-            co = jnp.argmax(counts - upper)   # most over-full
-            cu = jnp.argmax(lower - counts)   # most under-full
-            movable = jnp.logical_and(labels == co, ~fixed_mask)
-            margin = jnp.where(movable, a[:, cu] - a[:, co], neg_big)
-            i = jnp.argmax(margin)
-            labels = labels.at[i].set(cu.astype(labels.dtype))
-            return labels, it + 1
-
-        labels, _ = jax.lax.while_loop(rcond, rbody, (labels, 0))
-        return labels
-
-    return run(a)
+    return _volume.mbo_loop(dual_conv, labels0, fixed_mask, fixed_labels,
+                            lower, upper, temp, key, n_true=n_true,
+                            max_iters=max_iters)
 
 
 class volume_mbo(ssl):
@@ -880,16 +839,19 @@ class volume_mbo(ssl):
 
         n = self.graph.num_nodes
         k = len(np.unique(train_labels))
-        W = self.graph.weight_matrix.copy()
-        W.setdiag(0)
-        W.eliminate_zeros()
-        G = _graphmod.graph(W)
+        W, G = self._nodiag_graph()
         g = G.sparse
         dtype = config.float_dtype()
 
+        # bf16-band fast path for the dual convolution and the Voronoi
+        # init (both feed thresholds — 0.3% band error immaterial);
+        # gather-path fallback otherwise
+        acc = _accel.maybe_build(W, cache_obj=self, attr="_accel_vmbo",
+                                 exact=False, fast=True)
+
         # Voronoi initialization via closest labeled point
         _, cp = _eik.dijkstra(g, train_ind, bdy_val=np.zeros(len(train_ind)),
-                              return_cp=True)
+                              return_cp=True, accel=acc)
         lab_of = np.full(n, -1, dtype=int)
         lab_of[train_ind] = train_labels
         labels = np.array(lab_of[np.maximum(cp, 0)])
@@ -910,10 +872,6 @@ class volume_mbo(ssl):
 
         deg = _ops.degree_vector(g)
 
-        # bf16-band fast path for the dual convolution (feeds a threshold —
-        # 0.3% SpMM error immaterial); gather-path fallback otherwise
-        acc = _accel.maybe_build(W, cache_obj=self, attr="_accel_vmbo",
-                                 exact=False, fast=True)
         if acc is not None:
             deg_p = acc.to_perm(deg)
             dinv_p = jnp.where(deg_p > 0,
@@ -932,22 +890,41 @@ class volume_mbo(ssl):
 
         key = jax.random.PRNGKey(self.seed)
         temp = self.temperature
-        for it in range(self.max_iters):
-            a = dual_conv(jnp.asarray(labels))
-            if temp > 0:
-                key, sub = jax.random.split(key)
-                a = a + temp / (it + 1) * jax.random.gumbel(sub, a.shape, dtype=dtype) / n
-            new_labels = np.array(
-                _volume_assignment(a, fixed_mask_j, fixed_labels_j, lower,
-                                   upper, target)
-            )
-            changed = np.sum(new_labels != labels)
-            labels = new_labels
-            if all_labels is not None:
-                acc = ssl_accuracy(labels, all_labels, train_ind)
-                print("%d, changed=%d, Accuracy = %.2f" % (it, changed, acc))
-            if changed == 0 and (temp == 0 or it > 10):
-                break
+        if all_labels is None:
+            # fused fixed point: the whole MBO loop is ONE device program
+            # (per-iteration eager dispatch through the TPU tunnel costs
+            # ~0.3 s/step); one int-label transfer at the end
+            labels0 = jnp.asarray(labels, dtype=jnp.int32)
+            if acc is not None:
+                out, _ = acc.volume_mbo(
+                    dinv_p, labels0, fixed_mask_j, fixed_labels_j, lower,
+                    upper, temp, key, k=k, max_iters=self.max_iters)
+            else:
+                out, _ = _volume_mbo_loop_xla(
+                    g, jnp.asarray(deg, dtype=dtype), labels0, fixed_mask_j,
+                    fixed_labels_j, lower, upper,
+                    jnp.asarray(temp, dtype=dtype), key, k=k,
+                    max_iters=self.max_iters, n_true=n)
+            labels = np.array(out)   # writable copy (train pins below)
+        else:
+            # verbose path: per-iteration accuracy tracing (reference
+            # ssl.py fit(all_labels=...) semantics) — eager loop
+            for it in range(self.max_iters):
+                a = dual_conv(jnp.asarray(labels))
+                if temp > 0:
+                    key, sub = jax.random.split(key)
+                    a = a + temp / (it + 1) * jax.random.gumbel(
+                        sub, a.shape, dtype=dtype) / n
+                new_labels = np.array(
+                    _volume_assignment(a, fixed_mask_j, fixed_labels_j,
+                                       lower, upper, target)
+                )
+                changed = np.sum(new_labels != labels)
+                labels = new_labels
+                acc_pct = ssl_accuracy(labels, all_labels, train_ind)
+                print("%d, changed=%d, Accuracy = %.2f" % (it, changed, acc_pct))
+                if changed == 0 and (temp == 0 or it > 10):
+                    break
         labels[train_ind] = train_labels
         return utils.labels_to_onehot(labels, k)
 
@@ -1310,9 +1287,12 @@ class amle(ssl):
     def _fit_onevsrest(self, train_ind, train_labels, unique_labels):
         from graphlearning_tpu.solvers.plaplace import amle_mc
 
+        acc = _accel.maybe_build(self.graph.weight_matrix, cache_obj=self,
+                                 attr="_accel_dist", exact=False, fast=True)
         bdy_vals = (train_labels[:, None] == unique_labels[None, :]).astype(
             float)
         return amle_mc(self.graph.sparse, train_ind, bdy_vals, tol=self.tol,
+                       accel=acc,
                        max_num_it=self.max_num_it, weighted=self.weighted)
 
 
@@ -1373,11 +1353,13 @@ class plaplace(ssl):
     def _fit_onevsrest(self, train_ind, train_labels, unique_labels):
         from graphlearning_tpu.solvers.plaplace import plaplace_mc
 
+        acc = _accel.maybe_build(self.graph.weight_matrix, cache_obj=self,
+                                 attr="_accel_dist", exact=False, fast=True)
         bdy_vals = (train_labels[:, None] == unique_labels[None, :]).astype(
             float)
         return plaplace_mc(self.graph.sparse, train_ind, bdy_vals, self.p,
                            max_num_it=self.max_num_it, tol=self.tol,
-                           fast=self.fast)
+                           fast=self.fast, accel=acc)
 
 
 # -- report generators (reference ssl.py:1837-2053) ------------------------

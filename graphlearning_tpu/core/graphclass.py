@@ -89,6 +89,22 @@ class graph:
             self._mirror = _ops.build_mirror(self.g)
         return self._mirror
 
+    def bucketed(self):
+        """ELL+COO hybrid view (``core.sparse.BucketedELL``) for
+        gather-path solvers on degree-skewed graphs; cached on the scipy
+        matrix across instances (same convention as the accel caches)."""
+        from graphlearning_tpu.core.sparse import BucketedELL
+
+        W0 = self.weight_matrix
+        cached = getattr(W0, "_glt_bucketed", None)
+        if cached is None or cached.n != self.num_nodes:
+            cached = BucketedELL.from_scipy(W0, dtype=self.g.vals.dtype)
+            try:
+                W0._glt_bucketed = cached
+            except Exception:
+                pass
+        return cached
+
     # -- degrees & friends (reference graph.py:108-290) -------------------
 
     def degree_vector(self):

@@ -183,3 +183,89 @@ class SparseGraph:
             f"SparseGraph(n={self.n}, k={self.k}, nnz={int(np.asarray(self.deg).sum())}, "
             f"dtype={self.vals.dtype})"
         )
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["main", "sp_rows", "sp_cols", "sp_vals"],
+    meta_fields=["kcap", "m"],
+)
+class BucketedELL:
+    """ELL+COO hybrid (SURVEY.md §7.3 'padded CSR load balance'): degree
+    skew after symmetrization makes a single padded ELL wasteful — one hub
+    of degree 255 pads EVERY row's gather to 255 slots.  ``main`` holds the
+    first ``kcap`` slots per row; the tail of high-degree rows spills into
+    flat COO arrays reduced with ``jax.ops.segment_*`` (spill slot count is
+    a fixed, padded shape; padding rows carry id ``n`` and reduce into a
+    discarded extra segment)."""
+
+    def __init__(self, main: SparseGraph, sp_rows, sp_cols, sp_vals,
+                 kcap: int, m: int):
+        self.main = main
+        self.sp_rows = sp_rows
+        self.sp_cols = sp_cols
+        self.sp_vals = sp_vals
+        self.kcap = kcap
+        self.m = m            # real (unpadded) spill count
+
+    @staticmethod
+    def from_ell_np(cols_np, vals_np, deg_np, kcap: int | None = None,
+                    dtype=None):
+        """Host-side split of padded-ELL arrays (from
+        :meth:`SparseGraph.ell_from_scipy`)."""
+        dtype = dtype or config.float_dtype()
+        n, k = cols_np.shape
+        if kcap is None:
+            # 95th-percentile degree, multiple of 8: covers almost all
+            # rows; hub tails spill
+            kcap = int(np.percentile(deg_np, 95)) if n else 1
+            kcap = max(8, _round_up(max(kcap, 1), 8))
+        kcap = min(kcap, k)
+        main_deg = np.minimum(deg_np, kcap).astype(np.int32)
+        main = SparseGraph.from_ell_np(cols_np[:, :kcap], vals_np[:, :kcap],
+                                       main_deg, dtype=dtype)
+        hub = np.nonzero(deg_np > kcap)[0]
+        rows, cols, vals = [], [], []
+        for r in hub:
+            d = int(deg_np[r])
+            rows.append(np.full(d - kcap, r, np.int32))
+            cols.append(cols_np[r, kcap:d].astype(np.int32))
+            vals.append(vals_np[r, kcap:d])
+        m = int(sum(len(x) for x in rows))
+        mp = max(128, _round_up(m, 128))
+        sp_rows = np.full(mp, n, np.int32)          # pad -> segment n (dropped)
+        sp_cols = np.zeros(mp, np.int32)
+        sp_vals = np.zeros(mp, np.float64)
+        if m:
+            sp_rows[:m] = np.concatenate(rows)
+            sp_cols[:m] = np.concatenate(cols)
+            sp_vals[:m] = np.concatenate(vals)
+        return BucketedELL(main, jnp.asarray(sp_rows), jnp.asarray(sp_cols),
+                           jnp.asarray(sp_vals, dtype=dtype),
+                           kcap=int(kcap), m=m)
+
+    @staticmethod
+    def from_scipy(W, kcap: int | None = None, dtype=None):
+        cols_np, vals_np, deg_np = SparseGraph.ell_from_scipy(W)
+        return BucketedELL.from_ell_np(cols_np, vals_np, deg_np, kcap=kcap,
+                                       dtype=dtype)
+
+    @property
+    def n(self):
+        return self.main.n
+
+    def spill_reduce(self, slot_vals, kind: str, fill):
+        """Reduce per-spill-slot values into per-row values: (m_pad,) ->
+        (n,) or (m_pad, C) -> (n, C).  ``kind`` in sum/min/max; rows with
+        no spill get ``fill``."""
+        n = self.main.n
+        seg = {"sum": jax.ops.segment_sum, "min": jax.ops.segment_min,
+               "max": jax.ops.segment_max}[kind]
+        out = seg(slot_vals, self.sp_rows, num_segments=n + 1)[:n]
+        if kind != "sum":
+            has = jax.ops.segment_sum(
+                jnp.ones_like(self.sp_rows, jnp.int32), self.sp_rows,
+                num_segments=n + 1)[:n] > 0
+            shape = has.reshape((-1,) + (1,) * (slot_vals.ndim - 1))
+            out = jnp.where(shape, out, jnp.asarray(fill, out.dtype))
+        return out

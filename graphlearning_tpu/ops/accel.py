@@ -425,6 +425,18 @@ class AccelSpMM:
             k=int(k), max_iters=int(max_iters), n_true=int(self.n),
             **self._statics())
 
+    def poisson_mbo(self, deg_p, Db_p, u0, w0, priors, dt, Ns: int, T: int):
+        """FULL PoissonMBO outer loop (T x [Ns heat steps + volume
+        projection + threshold]) as ONE jitted program (the per-outer
+        eager variant pays a (n, k) round-trip + several dispatches per
+        round through the tunnel).  ``u0`` in ORIGINAL node order."""
+        band = self.band() if self.materialize else None
+        return _poisson_mbo_accel(
+            self.g, band, self._resid, *self._plan_dev, deg_p, Db_p,
+            jnp.asarray(u0), jnp.asarray(w0), jnp.asarray(priors),
+            jnp.asarray(dt, deg_p.dtype), self._perm_dev, self._inv_dev,
+            Ns=int(Ns), T=int(T), **self._statics())
+
     def poisson_gd(self, deg_p, Db_p, v0_p, min_iter: int, max_iter: int,
                    n_true: int):
         """Poisson-learning gradient descent ``u ← Db + D^{-1} W u`` with
@@ -612,6 +624,33 @@ def _bellman_ford_accel(gp, band, resid, winstart, rrows, rslots, d0_p, f_p,
     hops = max(1, int(np.ceil(np.log2(max(2, n)))))
     root = jax.lax.fori_loop(0, hops, dbl, parent)
     return d, root
+
+
+@functools.partial(jax.jit, static_argnames=("Ns", "T") + _STATICS)
+def _poisson_mbo_accel(gp, band, resid, winstart, rrows, rslots, deg_p, Db_p,
+                       u0, w0, priors, dt, perm_dev, inv_dev, *, Ns, T,
+                       Wwin, R, WT, kcap, mode, interpret, max_iter=0):
+    """Fused PoissonMBO (reference ssl.py:774-839): heat stepping runs in
+    permuted band space; projection/threshold in original order (class
+    sizes must not count padding rows)."""
+    from graphlearning_tpu.solvers import volume as _volume
+
+    spmm = _make_spmm(gp, band, resid, winstart, rrows, rslots, Wwin, R, WT,
+                      kcap, mode, interpret)
+    valid = (perm_dev >= 0)[:, None]
+    clip = jnp.clip(perm_dev, 0, None)
+
+    def heat_steps(u):
+        u_p = jnp.where(valid, jnp.take(u, clip, axis=0), 0.0)
+
+        def body(j, up):
+            Lu = deg_p[:, None] * up - spmm(up)
+            return up - dt * Lu + Db_p
+
+        u_p = jax.lax.fori_loop(0, Ns, body, u_p)
+        return jnp.take(u_p, inv_dev, axis=0)
+
+    return _volume.poisson_mbo_loop(heat_steps, u0, w0, priors, T)
 
 
 @functools.partial(jax.jit,

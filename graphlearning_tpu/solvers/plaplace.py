@@ -285,6 +285,103 @@ def _lip_iterate_weighted_mc(g: SparseGraph, u0, bdy_mask, gvals, tol,
     return u
 
 
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _lip_iterate_mc_bucketed(b, u0, bdy_mask, gvals, alpha, beta, tol,
+                             max_iter: int):
+    """(n, C) lip iteration on the ELL+COO hybrid (``BucketedELL``): the
+    single padded ELL gathers ``n * max_degree`` slots per round, so one
+    degree-255 hub makes EVERY row pay 255 slots; here the main gather is
+    ``n * kcap`` and the hub tail reduces via ``segment_*`` (SURVEY.md
+    §7.3 load-balance fix — measured ~8x fewer gathered slots at n=50k)."""
+    g = b.main
+    mask = g.mask()[:, :, None]
+    big = jnp.asarray(jnp.finfo(u0.dtype).max, u0.dtype)
+    wsum = (jnp.sum(jnp.where(g.mask(), g.vals, 0.0), axis=1)
+            + b.spill_reduce(b.sp_vals, "sum", 0.0))[:, None]
+    w3 = g.vals[:, :, None]
+    bdy3 = bdy_mask[:, None]
+
+    def body(state):
+        u, err, it = state
+        un = u[g.cols]                               # (n, kcap, C)
+        sumu = jnp.sum(jnp.where(mask, w3 * un, 0.0), axis=1)
+        minu = jnp.min(jnp.where(mask, un, big), axis=1)
+        maxu = jnp.max(jnp.where(mask, un, -big), axis=1)
+        usp = u[b.sp_cols]                           # (m_pad, C)
+        sumu = sumu + b.spill_reduce(b.sp_vals[:, None] * usp, "sum", 0.0)
+        minu = jnp.minimum(minu, b.spill_reduce(usp, "min", big))
+        maxu = jnp.maximum(maxu, b.spill_reduce(usp, "max", -big))
+        ne = alpha * sumu / wsum + beta * 0.5 * (minu + maxu)
+        u_new = jnp.where(bdy3, gvals, ne)
+        err = jnp.max(jnp.abs(u_new - u))
+        return u_new, err, it + 1
+
+    def cond(state):
+        u, err, it = state
+        return jnp.logical_and(
+            jnp.logical_or(err > tol, it <= 20), it < max_iter
+        )
+
+    u0 = jnp.where(bdy3, gvals, u0)
+    u, _, _ = jax.lax.while_loop(
+        cond, body, (u0, jnp.asarray(jnp.inf, u0.dtype), 0))
+    return u
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter", "num_bisection_it"))
+def _lip_iterate_weighted_mc_bucketed(b, u0, bdy_mask, gvals, tol,
+                                      max_iter: int,
+                                      num_bisection_it: int = 30):
+    """(n, C) weighted AMLE bisection on the ELL+COO hybrid."""
+    g = b.main
+    mask = g.mask()[:, :, None]
+    big = jnp.asarray(jnp.finfo(u0.dtype).max, u0.dtype)
+    w3 = g.vals[:, :, None]
+    bdy3 = bdy_mask[:, None]
+    has_spill = b.m > 0
+
+    def body(state):
+        u, err, it = state
+        un = u[g.cols]                               # (n, kcap, C)
+        usp = u[b.sp_cols]                           # (m_pad, C)
+        a = jnp.min(jnp.where(mask, un, big), axis=1)
+        bb = jnp.max(jnp.where(mask, un, -big), axis=1)
+        if has_spill:
+            a = jnp.minimum(a, b.spill_reduce(usp, "min", big))
+            bb = jnp.maximum(bb, b.spill_reduce(usp, "max", -big))
+
+        def bis(i, ab):
+            a, bb = ab
+            t = 0.5 * (a + bb)
+            e = jnp.where(mask, w3 * (t[:, None, :] - un), 0.0)
+            minw = jnp.minimum(jnp.min(e, axis=1), 0.0)
+            maxw = jnp.maximum(jnp.max(e, axis=1), 0.0)
+            if has_spill:
+                # pad rows carry id n: the gather clamps (jax clip mode)
+                # and the segment reduce drops them into segment n
+                esp = b.sp_vals[:, None] * (t[b.sp_rows] - usp)
+                minw = jnp.minimum(minw, b.spill_reduce(esp, "min", 0.0))
+                maxw = jnp.maximum(maxw, b.spill_reduce(esp, "max", 0.0))
+            pos = (minw + maxw) > 0
+            return jnp.where(pos, a, t), jnp.where(pos, t, bb)
+
+        a, bb = jax.lax.fori_loop(0, num_bisection_it, bis, (a, bb))
+        u_new = jnp.where(bdy3, gvals, 0.5 * (a + bb))
+        err = jnp.max(jnp.abs(u_new - u))
+        return u_new, err, it + 1
+
+    def cond(state):
+        u, err, it = state
+        return jnp.logical_and(
+            jnp.logical_or(err > tol, it <= 20), it < max_iter
+        )
+
+    u0 = jnp.where(bdy3, gvals, u0)
+    u, _, _ = jax.lax.while_loop(
+        cond, body, (u0, jnp.asarray(jnp.inf, u0.dtype), 0))
+    return u
+
+
 def _voronoi_init(g, bdy_set, bdy_vals, accel=None):
     """Closest-labeled-point warm start for the lip iterations: the
     p-Laplace/AMLE one-vs-rest solutions are plateau-like away from class
@@ -307,7 +404,7 @@ def _voronoi_init(g, bdy_set, bdy_vals, accel=None):
 
 
 def plaplace_mc(g: SparseGraph, bdy_set, bdy_vals, p, max_num_it=10**6,
-                tol=1e-1, fast=True, accel=None):
+                tol=1e-1, fast=True, accel=None, bucketed=None):
     """One-vs-rest batched p-Laplace: ``bdy_vals`` is (m, C) — one column
     per class — solved jointly.  ``fast`` path only (the lp_iterate
     sandwich stays per-class)."""
@@ -335,16 +432,20 @@ def plaplace_mc(g: SparseGraph, bdy_set, bdy_vals, p, max_num_it=10**6,
     # to the lp_iterate sandwich — map it to 1e-5 here); clamp to f32 floor
     tol_fast = max(tol if tol < 1e-1 else 1e-5, eps_floor)
     u0 = _voronoi_init(g, bdy_set, bdy_vals, accel=accel)
-    u = _lip_iterate_mc(
-        g, jnp.asarray(u0, dtype=dtype), jnp.asarray(bdy_mask),
-        jnp.asarray(gvals, dtype=dtype),
-        jnp.asarray(alpha, dtype=dtype), jnp.asarray(beta, dtype=dtype),
-        jnp.asarray(tol_fast, dtype=dtype), int(max_num_it))
+    args = (jnp.asarray(u0, dtype=dtype), jnp.asarray(bdy_mask),
+            jnp.asarray(gvals, dtype=dtype),
+            jnp.asarray(alpha, dtype=dtype), jnp.asarray(beta, dtype=dtype),
+            jnp.asarray(tol_fast, dtype=dtype), int(max_num_it))
+    if bucketed is not None and g.k > 1.5 * bucketed.kcap:
+        # degree-skewed ELL: hub rows pad every gather — hybrid wins
+        u = _lip_iterate_mc_bucketed(bucketed, *args)
+    else:
+        u = _lip_iterate_mc(g, *args)
     return np.asarray(u).astype(float)
 
 
 def amle_mc(g: SparseGraph, bdy_set, bdy_vals, tol=1e-5, max_num_it=10**5,
-            weighted=True, accel=None):
+            weighted=True, accel=None, bucketed=None):
     """One-vs-rest batched AMLE: ``bdy_vals`` is (m, C)."""
     dtype = g.vals.dtype
     n = g.n
@@ -357,15 +458,18 @@ def amle_mc(g: SparseGraph, bdy_set, bdy_vals, tol=1e-5, max_num_it=10**5,
     gvals[bdy_set] = bdy_vals
     tol = max(tol, 100 * float(jnp.finfo(dtype).eps))
     u0 = _voronoi_init(g, bdy_set, bdy_vals, accel=accel)
+    skewed = bucketed is not None and g.k > 1.5 * bucketed.kcap
     if weighted:
-        u = _lip_iterate_weighted_mc(
-            g, jnp.asarray(u0, dtype=dtype), jnp.asarray(bdy_mask),
-            jnp.asarray(gvals, dtype=dtype), jnp.asarray(tol, dtype=dtype),
-            int(max_num_it))
+        args = (jnp.asarray(u0, dtype=dtype), jnp.asarray(bdy_mask),
+                jnp.asarray(gvals, dtype=dtype), jnp.asarray(tol, dtype=dtype),
+                int(max_num_it))
+        u = (_lip_iterate_weighted_mc_bucketed(bucketed, *args) if skewed
+             else _lip_iterate_weighted_mc(g, *args))
     else:
-        u = _lip_iterate_mc(
-            g, jnp.asarray(u0, dtype=dtype), jnp.asarray(bdy_mask),
-            jnp.asarray(gvals, dtype=dtype),
-            jnp.asarray(0.0, dtype=dtype), jnp.asarray(1.0, dtype=dtype),
-            jnp.asarray(tol, dtype=dtype), int(max_num_it))
+        args = (jnp.asarray(u0, dtype=dtype), jnp.asarray(bdy_mask),
+                jnp.asarray(gvals, dtype=dtype),
+                jnp.asarray(0.0, dtype=dtype), jnp.asarray(1.0, dtype=dtype),
+                jnp.asarray(tol, dtype=dtype), int(max_num_it))
+        u = (_lip_iterate_mc_bucketed(bucketed, *args) if skewed
+             else _lip_iterate_mc(g, *args))
     return np.asarray(u).astype(float)

@@ -83,6 +83,56 @@ def assign_labels(a, fixed_mask, fixed_labels, lower, upper,
     return labels
 
 
+def projection_weights(scores, weights, priors, dt, *, similarity: bool):
+    """Traceable class-size gradient loop (reference ``ssl.py:172-209``):
+    iterate ``w += dt*(class_size(w) - priors)``, ``w /= w[0]`` until
+    ``max|grad| <= 1e-3`` or 1e4 steps.  ``scores`` must be pre-normalized
+    to [0, 1] (the reference normalizes before the loop)."""
+    k = scores.shape[1]
+
+    def cond(state):
+        w, err, i = state
+        return jnp.logical_and(i < 10**4, err > 1e-3)
+
+    def body(state):
+        w, err, i = state
+        sw = scores * w
+        pred = jnp.argmax(sw, axis=1) if similarity else jnp.argmin(sw, axis=1)
+        class_size = jnp.mean(jax.nn.one_hot(pred, k, dtype=scores.dtype),
+                              axis=0)
+        grad = class_size - priors
+        err = jnp.max(jnp.abs(grad))
+        w = w + dt * grad
+        return w / w[0], err, i + 1
+
+    w, err, _ = jax.lax.while_loop(
+        cond, body, (weights, jnp.asarray(1.0, scores.dtype),
+                     jnp.asarray(0)))
+    return w, err
+
+
+def poisson_mbo_loop(heat_steps, u0, w0, priors, T: int):
+    """Traceable PoissonMBO outer loop (reference ``ssl.py:774-839``):
+    T rounds of Ns-step heat diffusion (``heat_steps``, traceable
+    (n, k) -> (n, k)) + volume-constrained label projection + threshold.
+    The projection weights thread through the loop (warm start, as the
+    reference's ``self.weights`` attribute does across outer rounds)."""
+    k = u0.shape[1]
+
+    def outer(i, state):
+        u, w, err = state
+        u = heat_steps(u)
+        s = u - jnp.min(u)
+        m = jnp.max(s)
+        s = jnp.where(m > 0, s / m, s)
+        w, err = projection_weights(s, w, priors, -0.1, similarity=True)
+        labels = jnp.argmax(s * w, axis=1)
+        return jax.nn.one_hot(labels, k, dtype=u0.dtype), w, err
+
+    return jax.lax.fori_loop(
+        0, T, outer, (u0, w0, jnp.asarray(1.0, u0.dtype)))
+
+
 def mbo_loop(dual_conv, labels0, fixed_mask, fixed_labels, lower, upper,
              temp, key, n_true: int, max_iters: int,
              max_price_it: int = 500):

@@ -290,29 +290,12 @@ class ssl:
 @functools.partial(jax.jit, static_argnames=("similarity",))
 def _volume_projection_loop(scores, weights, priors, dt, *, similarity):
     """Device version of the reference's class-size gradient loop
-    (ssl.py:172-209): iterate ``w += dt*(class_size(w) - priors)``,
-    ``w /= w[0]`` until ``max|grad| <= 1e-3`` or 1e4 steps."""
-    k = scores.shape[1]
+    (ssl.py:172-209) — traceable core in
+    :func:`graphlearning_tpu.solvers.volume.projection_weights`."""
+    from graphlearning_tpu.solvers import volume as _volume
 
-    def cond(state):
-        w, err, i = state
-        return jnp.logical_and(i < 10**4, err > 1e-3)
-
-    def body(state):
-        w, err, i = state
-        sw = scores * w
-        pred = jnp.argmax(sw, axis=1) if similarity else jnp.argmin(sw, axis=1)
-        class_size = jnp.mean(jax.nn.one_hot(pred, k, dtype=scores.dtype),
-                              axis=0)
-        grad = class_size - priors
-        err = jnp.max(jnp.abs(grad))
-        w = w + dt * grad
-        return w / w[0], err, i + 1
-
-    w, err, _ = jax.lax.while_loop(
-        cond, body, (weights, jnp.asarray(1.0, scores.dtype),
-                     jnp.asarray(0)))
-    return w, err
+    return _volume.projection_weights(scores, weights, priors, dt,
+                                      similarity=similarity)
 
 
 def ssl_accuracy(pred_labels, true_labels, train_ind=None):
@@ -720,11 +703,9 @@ class poisson_mbo(ssl):
     def _fit(self, train_ind, train_labels, all_labels=None):
         n = self.graph.num_nodes
         k = len(np.unique(train_labels))
-        W = self.graph.weight_matrix.copy()
-        W.setdiag(0)
-        W.eliminate_zeros()
-        G = _graphmod.graph(W)
+        W, G = self._nodiag_graph()
         g = G.sparse
+        dtype = config.float_dtype()
 
         onehot = utils.labels_to_onehot(train_labels, k)
         source = np.zeros((n, k))
@@ -735,8 +716,12 @@ class poisson_mbo(ssl):
 
         deg = _ops.degree_vector(g)
         dt = 1.0 / float(np.asarray(jnp.max(deg)))
-        Db = jnp.asarray(self.mu * dt * source, dtype=config.float_dtype())
+        Db = jnp.asarray(self.mu * dt * source, dtype=dtype)
         Ns = self.Ns
+        if isinstance(self.weights, int):
+            self.weights = np.ones((k,))
+        w0 = jnp.asarray(self.weights, dtype=dtype)
+        priors = jnp.asarray(self.class_priors, dtype=dtype)
 
         # bf16-band fast path: heat stepping feeds a threshold projection,
         # so ~0.3% SpMM error is immaterial — stream the band at half bytes
@@ -746,6 +731,24 @@ class poisson_mbo(ssl):
             deg_p = acc.to_perm(deg)
             Db_p = acc.to_perm(Db)
 
+        if all_labels is None:
+            # fused outer loop: T x (Ns heat steps + volume projection +
+            # threshold) as ONE device program (the per-outer eager loop
+            # pays an (n, k) round-trip + dispatches per round)
+            u0 = jnp.asarray(u, dtype=dtype)
+            if acc is not None:
+                uj, w, err = acc.poisson_mbo(deg_p, Db_p, u0, w0, priors,
+                                             dt, Ns, self.T)
+            else:
+                uj, w, err = _poisson_mbo_loop_xla(
+                    g, jnp.asarray(deg, dtype=dtype), Db, u0, w0, priors,
+                    jnp.asarray(dt, dtype=dtype), Ns=Ns, T=self.T)
+            self.weights = np.asarray(w, dtype=float)
+            self.class_priors_error = float(err)
+            return np.asarray(uj)
+
+        # verbose path: per-outer accuracy tracing (reference semantics)
+        if acc is not None:
             def heat_steps(u):
                 u_p = acc.to_perm(u)
                 return acc.from_perm(
@@ -762,14 +765,29 @@ class poisson_mbo(ssl):
                 return jax.lax.fori_loop(0, Ns, body, u)
 
         for i in range(self.T):
-            u = np.asarray(heat_steps(jnp.asarray(u, dtype=config.float_dtype())))
+            u = np.asarray(heat_steps(jnp.asarray(u, dtype=dtype)))
             self.prob = u
             labels = self.volume_label_projection()
             u = utils.labels_to_onehot(labels, k)
-            if all_labels is not None:
-                acc = ssl_accuracy(labels, all_labels, train_ind)
-                print("%d, Accuracy = %.2f" % (i, acc))
+            acc_pct = ssl_accuracy(labels, all_labels, train_ind)
+            print("%d, Accuracy = %.2f" % (i, acc_pct))
         return u
+
+
+@functools.partial(jax.jit, static_argnames=("Ns", "T"))
+def _poisson_mbo_loop_xla(g, deg, Db, u0, w0, priors, dt, *, Ns, T):
+    """Fused PoissonMBO on the gather-path SpMM (accel counterpart is
+    ``ops.accel._poisson_mbo_accel``)."""
+    from graphlearning_tpu.solvers import volume as _volume
+
+    def heat_steps(u):
+        def body(j, u):
+            Lu = deg[:, None] * u - _ops.spmm(g, u)
+            return u - dt * Lu + Db
+
+        return jax.lax.fori_loop(0, Ns, body, u)
+
+    return _volume.poisson_mbo_loop(heat_steps, u0, w0, priors, T)
 
 
 def _volume_assignment(a, fixed_mask, fixed_labels, lower, upper, target,
@@ -1292,7 +1310,7 @@ class amle(ssl):
         bdy_vals = (train_labels[:, None] == unique_labels[None, :]).astype(
             float)
         return amle_mc(self.graph.sparse, train_ind, bdy_vals, tol=self.tol,
-                       accel=acc,
+                       accel=acc, bucketed=self.graph.bucketed(),
                        max_num_it=self.max_num_it, weighted=self.weighted)
 
 
@@ -1359,7 +1377,8 @@ class plaplace(ssl):
             float)
         return plaplace_mc(self.graph.sparse, train_ind, bdy_vals, self.p,
                            max_num_it=self.max_num_it, tol=self.tol,
-                           fast=self.fast, accel=acc)
+                           fast=self.fast, accel=acc,
+                           bucketed=self.graph.bucketed())
 
 
 # -- report generators (reference ssl.py:1837-2053) ------------------------

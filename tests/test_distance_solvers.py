@@ -291,3 +291,47 @@ def test_plaplace_amle_onevsrest_batched_matches_loop(pointcloud_graph):
     finally:
         from graphlearning_tpu.solvers.plaplace import plaplace_mc as _r
     assert np.mean(pred_batched == pred_loop) > 0.995
+
+
+def test_bucketed_lip_matches_plain():
+    """ELL+COO hybrid lip iteration must match the plain padded-ELL one on
+    a degree-skewed graph (hub star + kNN cloud)."""
+    import scipy.sparse as sp
+    from graphlearning_tpu.core.sparse import SparseGraph, BucketedELL
+    from graphlearning_tpu.solvers.plaplace import (
+        _lip_iterate_mc, _lip_iterate_mc_bucketed,
+        _lip_iterate_weighted_mc, _lip_iterate_weighted_mc_bucketed)
+    import jax.numpy as jnp
+    import graphlearning_tpu as gl
+
+    rs = np.random.RandomState(0)
+    X = rs.rand(400, 2)
+    W = gl.weightmatrix.knn(X, 8).tolil()
+    # hub: node 0 connects to 100 extra nodes (degree ~100 vs ~12)
+    for j in range(50, 150):
+        W[0, j] = 0.3
+        W[j, 0] = 0.3
+    W = W.tocsr()
+    g = SparseGraph.from_scipy(W)
+    b = BucketedELL.from_scipy(W)
+    assert b.kcap < g.k and b.m > 0
+
+    n = W.shape[0]
+    bdy = np.array([3, 77, 200, 350])
+    bdy_vals = np.eye(4)[np.arange(4) % 4][:, :2]
+    bdy_mask = np.zeros(n, bool)
+    bdy_mask[bdy] = True
+    gvals = np.zeros((n, 2))
+    gvals[bdy] = bdy_vals
+    args = lambda: (jnp.zeros((n, 2)), jnp.asarray(bdy_mask),
+                    jnp.asarray(gvals), jnp.asarray(1.0 / 9),
+                    jnp.asarray(8.0 / 9), jnp.asarray(1e-7), 2000)
+    u_plain = np.asarray(_lip_iterate_mc(g, *args()))
+    u_buck = np.asarray(_lip_iterate_mc_bucketed(b, *args()))
+    np.testing.assert_allclose(u_buck, u_plain, rtol=1e-5, atol=1e-6)
+
+    wargs = lambda: (jnp.zeros((n, 2)), jnp.asarray(bdy_mask),
+                     jnp.asarray(gvals), jnp.asarray(1e-7), 500)
+    uw_plain = np.asarray(_lip_iterate_weighted_mc(g, *wargs()))
+    uw_buck = np.asarray(_lip_iterate_weighted_mc_bucketed(b, *wargs()))
+    np.testing.assert_allclose(uw_buck, uw_plain, rtol=1e-5, atol=1e-6)

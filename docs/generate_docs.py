@@ -23,6 +23,8 @@ MODULES = [
     "graphlearning_tpu.solvers.eikonal",
     "graphlearning_tpu.solvers.plaplace",
     "graphlearning_tpu.solvers.pagerank",
+    "graphlearning_tpu.solvers.kmeans",
+    "graphlearning_tpu.solvers.volume",
     "graphlearning_tpu.weightmatrix",
     "graphlearning_tpu.ssl",
     "graphlearning_tpu.clustering",

@@ -22,7 +22,10 @@ if _cache_dir and _cache_dir != "0":
     try:
         os.makedirs(_cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # persist even tiny programs: through the remote-compile tunnel a
+        # trivial eager op costs ~0.4s to compile, and a cold fit dispatches
+        # dozens of them
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
     except Exception:  # pragma: no cover - older jax without the flag
         pass
 

@@ -225,9 +225,9 @@ def clustering_accuracy(pred_labels, true_labels):
     return 100.0 * C[row, col].sum() / len(tl)
 
 
-def purity(pred_labels, true_labels):
+def purity(cluster_labels, true_labels):
     """Cluster purity (reference ``clustering.py:513-547``)."""
-    pred = np.asarray(pred_labels).astype(int)
+    pred = np.asarray(cluster_labels).astype(int)
     tl = np.asarray(true_labels)
     n = len(tl)
     total = 0

@@ -331,19 +331,37 @@ class graph:
         vals, vecs = self.eigendata[key[0]][key]
         return jnp.asarray(vals), jnp.asarray(vecs)
 
-    def fiedler_vector(self, method="exact", tol=0):
-        vals, vecs = self.eigen_decomp(normalization="normalized", method=method, k=2, tol=tol)
+    def fiedler_vector(self, return_value=False, tol=1e-8, method="exact"):
+        """Second eigenvector of the normalized Laplacian (reference
+        ``graph.py:153-206``; ``return_value`` also returns λ₂)."""
+        vals, vecs = self.eigen_decomp(normalization="normalized",
+                                       method=method, k=2, tol=tol)
+        if return_value:
+            return vecs[:, 1], vals[1]
         return vecs[:, 1]
 
-    def diffusion_map(self, k=10, t=1, alpha=0.5):
-        """Coifman-Lafon diffusion map embedding (graph.py:584-621)."""
-        from graphlearning_tpu.solvers import eig as _eig
-
-        vals, vecs = self.eigen_decomp(normalization="coifmanlafon", k=k, c=alpha)
-        lam = (1 - vals) ** t
-        return vecs * lam[None, :]
+    def diffusion_map(self, k=1, alpha=1, d=3, full=False):
+        """Coifman-Lafon diffusion map embedding (reference
+        ``graph.py:584-621`` semantics: ``k`` diffusion steps, ``alpha``
+        density normalization, ``d`` embedding dims; returns
+        ``(vals, emb)``, dropping the trivial mode unless ``full``)."""
+        vals, vecs = self.eigen_decomp(normalization="coifmanlafon", k=d,
+                                       c=float(alpha))
+        if full:
+            S = 1.0 - vals
+            return vals, vecs * (S ** k)[None, :]
+        S = 1.0 - vals[1:]
+        return vals[1:], vecs[:, 1:] * (S ** k)[None, :]
 
     # -- distance / HJ solvers (reference graph.py:808-1332) --------------
+
+    def _accel_exact(self):
+        """Exact (f32-band) accelerated SpMM context, cost-gated and
+        cached (shared with the eigensolver's accel)."""
+        from graphlearning_tpu.ops import accel as _accel
+
+        return _accel.maybe_build(self.weight_matrix, cache_obj=self,
+                                  attr="_accel_eig", exact=True)
 
     def dijkstra(self, bdy_set, bdy_val=None, f=1, max_dist=np.inf,
                  return_cp=False, reciprocal_weights=False):
@@ -351,13 +369,15 @@ class graph:
 
         return _eik.dijkstra(self.g, bdy_set, bdy_val=bdy_val, f=f,
                              max_dist=max_dist, return_cp=return_cp,
-                             reciprocal_weights=reciprocal_weights)
+                             reciprocal_weights=reciprocal_weights,
+                             accel=self._accel_exact())
 
     def dijkstra_hl(self, bdy_set, bdy_val=None, f=1, max_dist=np.inf, return_cp=False):
         from graphlearning_tpu.solvers import eikonal as _eik
 
         return _eik.dijkstra_hl(self.g, bdy_set, bdy_val=bdy_val, f=f,
-                                max_dist=max_dist, return_cp=return_cp)
+                                max_dist=max_dist, return_cp=return_cp,
+                                accel=self._accel_exact())
 
     def distance(self, i, j):
         u = self.dijkstra([i])
@@ -368,13 +388,35 @@ class graph:
 
         return _eik.distance_matrix(self.g, centered=centered)
 
-    def peikonal(self, bdy_set, bdy_val=0, f=1, p=1, max_num_it=10**5,
-                 tol=1e-3, num_bisection_it=30, prog=False):
+    def peikonal(self, bdy_set, bdy_val=0, f=1, p=1, nl_bdy=False, u0=None,
+                 solver="fmm", max_num_it=10**5, tol=1e-3,
+                 num_bisection_it=30, prog=False):
+        """p-eikonal equation (reference ``graph.py:808-914``).  ``solver``
+        is accepted for API parity; both 'fmm' and 'gauss-seidel' route to
+        the device Jacobi fixed point, which converges to the same unique
+        viscosity solution (FMM's heap ordering is inherently serial,
+        SURVEY.md §2.2).  ``nl_bdy`` dilates the boundary data non-locally
+        to graph neighbors exactly as the reference does."""
         from graphlearning_tpu.solvers import eikonal as _eik
+        from graphlearning_tpu import utils as _utils
 
+        if nl_bdy:
+            import scipy.sparse as sp
+
+            n = self.num_nodes
+            bdy_set, bdy_val = _utils._boundary_handling(bdy_set, bdy_val)
+            D = self.degree_matrix(p=-1)
+            W = self.weight_matrix
+            bdy_mask = np.zeros(n)
+            bdy_mask[bdy_set] = 1
+            bdy_dilate = (D @ W @ bdy_mask) > 0
+            bdy_val_all = np.zeros(n)
+            bdy_val_all[bdy_mask == 1] = bdy_val
+            bdy_set = np.where(bdy_dilate)[0]
+            bdy_val = (D @ W @ bdy_val_all)[bdy_set]
         return _eik.peikonal(self.g, bdy_set, bdy_val=bdy_val, f=f, p=p,
                              max_num_it=max_num_it, tol=tol,
-                             num_bisection_it=num_bisection_it)
+                             num_bisection_it=num_bisection_it, u0=u0)
 
     def plaplace(self, bdy_set, bdy_val, p, max_num_it=10**6, tol=1e-1,
                  prog=False, fast=True):
@@ -411,7 +453,8 @@ class graph:
 
     # -- drawing / embedding ----------------------------------------------
 
-    def draw(self, X=None, c=None, cmap="viridis", markersize=None, linewidth=None, alpha=1.0):
+    def draw(self, X=None, c=None, cmap="viridis", markersize=None,
+             linewidth=None, edges=True, linecolor="black", alpha=1.0):
         """Metric-MDS layout + matplotlib scatter/edges (graph.py:1414-1492)."""
         import matplotlib.pyplot as plt
 
@@ -421,17 +464,25 @@ class graph:
             X = vecs[:, -2:] * np.sqrt(np.abs(vals[-2:]))[None, :]
         W = self.weight_matrix.tocoo()
         fig, ax = plt.subplots()
-        for i, j in zip(W.row, W.col):
-            if i < j:
-                ax.plot([X[i, 0], X[j, 0]], [X[i, 1], X[j, 1]],
-                        color="black", linewidth=linewidth or 0.5, alpha=0.5 * alpha)
+        if edges:
+            for i, j in zip(W.row, W.col):
+                if i < j:
+                    ax.plot([X[i, 0], X[j, 0]], [X[i, 1], X[j, 1]],
+                            color=linecolor, linewidth=linewidth or 0.5,
+                            alpha=0.5 * alpha)
         ax.scatter(X[:, 0], X[:, 1], c=c, cmap=cmap, s=markersize, zorder=3, alpha=alpha)
         return X
 
     @staticmethod
-    def ars(X, **kwargs):
+    def ars(X, dim=2, perplexity=30, kappa=0.5, iters=1000, time_step=1,
+            theta1=2, theta2=3, alpha=10, num_early=250, use_pca=True,
+            init_dim=200, init="pca", prog=False, dump=False, **kwargs):
         """Attraction-Repulsion Swarming t-SNE embedding (static, reference
         ``graph.py:1494-1609``).  See :func:`graphlearning_tpu.ars.ars`."""
         from graphlearning_tpu.ars import ars as _ars
 
-        return _ars(X, **kwargs)
+        return _ars(X, dim=dim, perplexity=perplexity, kappa=kappa,
+                    iters=iters, time_step=time_step, theta1=theta1,
+                    theta2=theta2, alpha=alpha, num_early=num_early,
+                    use_pca=use_pca, init_dim=init_dim, init=init,
+                    prog=prog, dump=dump, **kwargs)

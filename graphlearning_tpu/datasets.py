@@ -87,12 +87,12 @@ def save(data, labels, dataset, metric="raw", overwrite=False):
         np.savez_compressed(lpath, labels=labels)
 
 
-def load_graph(dataset):
+def load_graph(name):
     """Load a pickled graph (karate, cora, citeseer, pubmed, webkb*, ...;
     reference ``datasets.py:96-160``)."""
     from graphlearning_tpu.core.graphclass import graph
 
-    fname = dataset.lower() + ".pkl"
+    fname = name.lower() + ".pkl"
     path = _find(fname)
     if path is None:
         os.makedirs(data_dir, exist_ok=True)
@@ -107,9 +107,9 @@ def load_graph(dataset):
     return graph(obj)
 
 
-def load_image(image):
+def load_image(name):
     """Load a demo image npz (reference ``datasets.py:200-240``)."""
-    fname = image.lower() + ".npz"
+    fname = name.lower() + ".npz"
     path = _find(fname)
     if path is None:
         os.makedirs(data_dir, exist_ok=True)
@@ -118,12 +118,16 @@ def load_image(image):
     return utils.numpy_load(path, "image")
 
 
-def two_skies(n, sep=0.64, noise=0.08, seed=None):
-    """Synthetic two-skies dataset (reference ``datasets.py:242-260``)."""
+def two_skies(n, sigma=0.15, sep=0.64, seed=None, noise=None):
+    """Synthetic two-skies dataset (reference ``datasets.py:19-45``
+    signature: ``sigma`` is the sky standard deviation; ``noise`` kept as
+    a deprecated alias)."""
+    if noise is not None:
+        sigma = noise
     rs = np.random.RandomState(seed)
     m = n // 2
-    X1 = np.vstack((rs.rand(m), noise * rs.randn(m) - sep / 2)).T
-    X2 = np.vstack((rs.rand(n - m), noise * rs.randn(n - m) + sep / 2)).T
+    X1 = np.vstack((rs.rand(m), sigma * rs.randn(m) - sep / 2)).T
+    X2 = np.vstack((rs.rand(n - m), sigma * rs.randn(n - m) + sep / 2)).T
     X = np.vstack((X1, X2))
     labels = np.hstack((np.zeros(m, dtype=int), np.ones(n - m, dtype=int)))
     return X, labels

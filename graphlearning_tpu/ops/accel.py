@@ -390,7 +390,7 @@ class AccelSpMM:
             k=int(k), **self._statics())
 
     def bellman_ford(self, d0, f, hopf_lax: bool = False,
-                     max_iter: int = 10**6):
+                     recip: bool = False, max_iter: int = 10**6):
         """Distance iteration to the Dijkstra/Hopf-Lax fixed point on the
         materialized band (min-plus streaming instead of XLA gather,
         ~20x at n=70k) + shortest-path-tree closest-point recovery by
@@ -401,7 +401,8 @@ class AccelSpMM:
         f_p = self.to_perm(jnp.asarray(f, jnp.float32), fill=0.0)
         d_p, root_p = _bellman_ford_accel(
             self.g, self.band(), self._resid, *self._plan_dev, d0_p, f_p,
-            hopf_lax=bool(hopf_lax), **self._statics(max_iter=int(max_iter)))
+            hopf_lax=bool(hopf_lax), recip=bool(recip),
+            **self._statics(max_iter=int(max_iter)))
         d = self.from_perm(d_p)
         root = jnp.take(root_p, self._inv_dev)
         cp = jnp.where(root >= 0,
@@ -567,10 +568,11 @@ def _dual_conv_labels_accel(gp, band, resid, winstart, rrows, rslots, dinv_p,
 _PL_BIG = 1e30      # pallas_spmm._MINPLUS_BIG (unreached sentinel)
 
 
-@functools.partial(jax.jit, static_argnames=("hopf_lax",) + _STATICS)
+@functools.partial(jax.jit,
+                   static_argnames=("hopf_lax", "recip") + _STATICS)
 def _bellman_ford_accel(gp, band, resid, winstart, rrows, rslots, d0_p, f_p,
-                        *, hopf_lax, Wwin, R, WT, kcap, mode, interpret,
-                        max_iter):
+                        *, hopf_lax, recip, Wwin, R, WT, kcap, mode,
+                        interpret, max_iter):
     """Min-plus Bellman-Ford on the band (reference heap Dijkstra,
     hjsolvers.cpp:117-227; same fixed point, data-parallel rounds).
     Returns ``(d_p, root_p)`` where ``root_p`` is the permuted index of
@@ -583,13 +585,13 @@ def _bellman_ford_accel(gp, band, resid, winstart, rrows, rslots, d0_p, f_p,
 
     def relax(d, track):
         out = band_minplus(band, winstart, d, f_p, R=R, WT=WT,
-                           hopf_lax=hopf_lax, track_arg=track,
+                           hopf_lax=hopf_lax, track_arg=track, recip=recip,
                            interpret=interpret)
         bmin = out[:, 0]
         barg = out[:, 1].astype(jnp.int32)
         if resid is not None:
             rmin, rarg = residual_minplus(d, f_p, resid, hopf_lax=hopf_lax,
-                                          track_arg=track)
+                                          track_arg=track, recip=recip)
             if track:
                 barg = jnp.where(bmin <= rmin, barg, rarg)
             bmin = jnp.minimum(bmin, rmin)

@@ -312,12 +312,18 @@ _MINPLUS_BIG = 1e30
 
 
 def _band_minplus_kernel(winstart_ref, band_ref, df_ref, out_ref,
-                         *, WT: int, hopf_lax: bool, track_arg: bool):
+                         *, WT: int, hopf_lax: bool, track_arg: bool,
+                         recip: bool):
     i = pl.program_id(0)
     t = pl.program_id(1)
     base = winstart_ref[i] + t * WT
 
     A = band_ref[:].astype(jnp.float32)              # (R, WT)
+    if recip:
+        # reciprocal edge costs 1/w (reference dijkstra
+        # reciprocal_weights, graph.py:1077-1175); zero cells stay zero
+        # so the A > 0 edge test below still works
+        A = jnp.where(A > 0, 1.0 / jnp.where(A == 0, 1.0, A), 0.0)
     dwin = df_ref[0, :][None, :]                     # (1, WT) distances
     fwin = df_ref[1, :][None, :]                     # (1, WT) speed values
     if hopf_lax:
@@ -356,7 +362,7 @@ def _band_minplus_kernel(winstart_ref, band_ref, df_ref, out_ref,
 
 def band_minplus(band, winstart, d, f, R: int = 512, WT: int = 1024,
                  hopf_lax: bool = False, track_arg: bool = False,
-                 interpret: bool = False):
+                 recip: bool = False, interpret: bool = False):
     """One min-plus relaxation round over the band.  Returns an (n, 128)
     f32 array: column 0 = per-row min candidate (``_MINPLUS_BIG`` where the
     window holds no edge), column 1 (when ``track_arg``) = float-encoded
@@ -367,7 +373,8 @@ def band_minplus(band, winstart, d, f, R: int = 512, WT: int = 1024,
     df = jnp.zeros((8, n), jnp.float32).at[0].set(d).at[1].set(f)
     grid = (n // R, W // WT)
     kernel = functools.partial(_band_minplus_kernel, WT=WT,
-                               hopf_lax=hopf_lax, track_arg=track_arg)
+                               hopf_lax=hopf_lax, track_arg=track_arg,
+                               recip=recip)
     return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -388,7 +395,7 @@ def band_minplus(band, winstart, d, f, R: int = 512, WT: int = 1024,
 
 
 def residual_minplus(d, f, resid, hopf_lax: bool = False,
-                     track_arg: bool = False):
+                     track_arg: bool = False, recip: bool = False):
     """Min-plus contribution of the out-of-window residual edges
     (structure from :func:`build_residual_ell`; zero-valued slots are
     padding, masked out).  Returns ``(min, argmin)`` over residual edges
@@ -405,6 +412,11 @@ def residual_minplus(d, f, resid, hopf_lax: bool = False,
         a = jnp.take_along_axis(cols, slot[:, None], axis=1)[:, 0]
         return m, a
 
+    if recip:
+        rvals = jnp.where(rvals > 0,
+                          1.0 / jnp.where(rvals == 0, 1.0, rvals), 0.0)
+        sp_v = jnp.where(sp_v > 0,
+                         1.0 / jnp.where(sp_v == 0, 1.0, sp_v), 0.0)
     if rcols.shape[0]:
         dn = jnp.take(d, rcols, axis=0)
         fn = jnp.take(f, rcols, axis=0)

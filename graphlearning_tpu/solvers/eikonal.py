@@ -104,12 +104,13 @@ def dijkstra(g: SparseGraph, bdy_set, bdy_val=None, f=1, max_dist=np.inf,
     f = jnp.asarray(f, dtype=dtype)
 
     use_accel = (accel is not None and getattr(accel, "materialize", False)
-                 and not reciprocal_weights and np.all(f_np > 0))
+                 and np.all(f_np > 0))
     if use_accel:
         bigf = 1e30
         d0 = np.full((n,), bigf, dtype=np.float32)
         d0[bdy_set] = bdy_val_arr
-        d, cp = accel.bellman_ford(d0, f, max_iter=max_iter)
+        d, cp = accel.bellman_ford(d0, f, recip=reciprocal_weights,
+                                   max_iter=max_iter)
         d = np.array(d).astype(float)
         cp = np.array(cp)
         unreached = d >= bigf * 0.5
@@ -147,7 +148,7 @@ def dijkstra(g: SparseGraph, bdy_set, bdy_val=None, f=1, max_dist=np.inf,
 
 
 def dijkstra_hl(g: SparseGraph, bdy_set, bdy_val=None, f=1, max_dist=np.inf,
-                return_cp=False, max_iter=10**6):
+                return_cp=False, max_iter=10**6, accel=None):
     """Hopf-Lax Hamilton-Jacobi distance (reference ``graph.py:916-997``,
     quadratic update ``hjsolvers.cpp:152-154``)."""
     n = g.n
@@ -155,7 +156,25 @@ def dijkstra_hl(g: SparseGraph, bdy_set, bdy_val=None, f=1, max_dist=np.inf,
     dtype = g.vals.dtype
     if np.isscalar(f) or np.ndim(f) == 0:
         f = np.full((n,), float(f))
+    f_np = np.asarray(f)
     f = jnp.asarray(f, dtype=dtype)
+    if (accel is not None and getattr(accel, "materialize", False)
+            and np.all(f_np > 0)):
+        bigf = 1e30
+        d0 = np.full((n,), bigf, dtype=np.float32)
+        d0[bdy_set] = bdy_val_arr
+        d, cp = accel.bellman_ford(d0, f, hopf_lax=True, max_iter=max_iter)
+        d = np.array(d).astype(float)
+        cp = np.array(cp)
+        unreached = d >= bigf * 0.5
+        d[unreached] = np.inf
+        if np.isfinite(max_dist):
+            far = d > max_dist
+            d[far] = np.inf
+            cp[far] = -1
+        if return_cp:
+            return d, cp
+        return d
     big = jnp.asarray(jnp.finfo(dtype).max, dtype)
     d0 = jnp.full((n,), big, dtype=dtype).at[bdy_set].set(
         jnp.asarray(bdy_val_arr, dtype=dtype)

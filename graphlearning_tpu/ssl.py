@@ -1427,18 +1427,23 @@ def accuracy_plot(model_list, tag="", testerror=False, savefile=None,
         plt.show()
 
 
-def accuracy_table(model_list, tag="", savefile="table.tex", title="",
-                   fontsize="small", append=False, two_column=False,
+def accuracy_table(model_list, tag="", testerror=False, savefile="table.tex",
+                   title="", fontsize="small", append=False, two_column=False,
                    small_caps=True):
     """Emit a LaTeX table of mean (std) accuracy per label count, bolding
-    the best model in each column (reference ``ssl.py:1925-2053``)."""
+    the best model in each column (reference ``ssl.py:1925-2053``);
+    ``testerror`` reports 100-accuracy and bolds the lowest instead."""
     stats = [m.trials_statistics(tag=tag) for m in model_list]
     num_train = stats[0][0]
     ncols = len(num_train)
     means = np.stack([s[1] for s in stats])          # (models, ncols)
     stds = np.stack([s[2] for s in stats])
     num_trials = int(stats[0][3][0])
-    best = np.argmax(means, axis=0)
+    if testerror:
+        means = 100.0 - means
+        best = np.argmin(means, axis=0)
+    else:
+        best = np.argmax(means, axis=0)
 
     env = "table*" if two_column else "table"
     lines = []
@@ -1452,8 +1457,10 @@ def accuracy_table(model_list, tag="", savefile="table.tex", title="",
         ]
     lines += [
         "", f"\\begin{{{env}}}[t!]", "\\vspace{-3mm}",
-        ("\\caption{%s: Average (standard deviation) classification "
-         "accuracy over %d trials.}" % (title, num_trials)),
+        ("\\caption{%s: Average (standard deviation) %s over %d trials.}"
+         % (title,
+            "test error" if testerror else "classification accuracy",
+            num_trials)),
         "\\vspace{-3mm}", "\\label{tab:%s}" % title, "\\vskip 0.15in",
         "\\begin{center}", f"\\begin{{{fontsize}}}",
     ]

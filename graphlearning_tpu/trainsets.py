@@ -16,7 +16,7 @@ from graphlearning_tpu import utils
 trainset_dir = os.path.abspath(os.path.join(os.getcwd(), "label_permutations"))
 
 
-def generate(labels, rate=1, num_trials=1, mask=None, seed=None, dataset=None, name=None, overwrite=False):
+def generate(labels, rate=1, num_trials=1, mask=None, seed=None, dataset=None, trainset_name='', name=None, overwrite=False):
     """Generate train sets by per-class sampling (reference
     ``trainsets.py:47-156``).  ``rate``: int = count per class, float in
     (0,1) = fraction per class, or array of per-class counts/fractions."""
@@ -44,7 +44,8 @@ def generate(labels, rate=1, num_trials=1, mask=None, seed=None, dataset=None, n
 
     if dataset is not None or name is not None:
         os.makedirs(trainset_dir, exist_ok=True)
-        fname = (dataset or name) + "_permutations.npz"
+        fname = ((dataset or name).lower() + trainset_name.lower()
+                 + "_permutations.npz")
         path = os.path.join(trainset_dir, fname)
         if not os.path.exists(path) or overwrite:
             np.savez_compressed(
@@ -53,15 +54,21 @@ def generate(labels, rate=1, num_trials=1, mask=None, seed=None, dataset=None, n
     return perm_list if num_trials > 1 else perm_list[0]
 
 
-def load(dataset, overwrite=False):
+def load(dataset, trainset_name='', overwrite=False):
     """Load label permutations, checking the local dir, then the reference's
     bundled fixtures at ``/root/reference/LabelPermutations`` (offline),
     then the GitHub URL (reference ``trainsets.py:17-45``)."""
-    fname = dataset + "_permutations.npz"
-    for d in (trainset_dir, "/root/reference/LabelPermutations"):
-        path = os.path.join(d, fname)
-        if os.path.exists(path) and not overwrite:
-            return utils.numpy_load(path, "perm")
+    # try the exact-case name first (the reference's bundled fixtures are
+    # CamelCase, e.g. MNIST_permutations.npz) then the reference code's
+    # lowercased convention (trainsets.py:31)
+    fnames = [dataset + trainset_name + "_permutations.npz",
+              dataset.lower() + trainset_name.lower() + "_permutations.npz"]
+    for fname in fnames:
+        for d in (trainset_dir, "/root/reference/LabelPermutations"):
+            path = os.path.join(d, fname)
+            if os.path.exists(path) and not overwrite:
+                return utils.numpy_load(path, "perm")
+    fname = fnames[1]
     os.makedirs(trainset_dir, exist_ok=True)
     path = os.path.join(trainset_dir, fname)
     url = (

@@ -62,9 +62,20 @@ def test_lowrank_eigen_close_to_exact(G):
 
 
 def test_diffusion_map_shape(G):
-    Phi = G.diffusion_map(k=6, t=2)
-    assert Phi.shape == (G.num_nodes, 6)
+    # reference semantics (graph.py:584-621): returns (vals, emb), trivial
+    # mode dropped unless full=True
+    vals, Phi = G.diffusion_map(k=2, d=6)
+    assert Phi.shape == (G.num_nodes, 5)
+    assert vals.shape == (5,)
     assert np.all(np.isfinite(Phi))
+    vals_f, Phi_f = G.diffusion_map(k=2, d=6, full=True)
+    assert Phi_f.shape == (G.num_nodes, 6)
+
+
+def test_fiedler_return_value(G):
+    f, lam = G.fiedler_vector(return_value=True)
+    assert f.shape == (G.num_nodes,)
+    assert 0 <= lam <= 2.0
 
 
 def test_randomized_svd_vs_exact():

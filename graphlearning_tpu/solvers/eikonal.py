@@ -15,7 +15,10 @@ inherently sequential.  TPU-native equivalents (SURVEY.md §2.2):
   across all nodes: the p=1 exact solve becomes a batched per-row sort +
   prefix-scan (replacing ``peikonal_solver_fast``, hjsolvers.cpp:265-286);
   p≠1 becomes a lockstep 30-step bisection (``peikonal_solver``,
-  hjsolvers.cpp:229-263).
+  hjsolvers.cpp:229-263).  The class-batched SSL path uses the bisection
+  for every p (its bracket is valid for all p >= 1) — the (n, k, C) sort
+  dominates at hub degrees — warm-started from a Bellman-Ford
+  first-neighbor distance.
 
 A serial host C++ oracle (graphlearning_tpu/native) validates both.
 """
@@ -296,6 +299,104 @@ def _peikonal_jacobi(g: SparseGraph, u0, bdy_mask, gvals, f, p, tol,
     u0 = jnp.where(bdy_mask, gvals, u0)
     u, _, _ = jax.lax.while_loop(cond, body, (u0, jnp.asarray(jnp.inf, u0.dtype), 0))
     return u
+
+
+@functools.partial(jax.jit, static_argnames=("p", "max_iter",
+                                              "num_bisection_it"))
+def _peikonal_jacobi_mc(g: SparseGraph, u0, bdy_mask, f, tol,
+                        *, p: float, max_iter: int,
+                        num_bisection_it: int):
+    """(n, C) class-batched p-eikonal Jacobi: the one-vs-rest SSL wrapper
+    (reference ``ssl.py:1616-1678``) solves C problems that differ only in
+    boundary set — sharing the neighbor gather across classes turns C
+    sequential solves into one fixed-point loop.  ``bdy_mask`` is (n, C)
+    (class-c training points), boundary value 0."""
+    mask = g.mask()
+    big = jnp.asarray(jnp.finfo(u0.dtype).max, u0.dtype)
+    w = g.vals
+    wsum = jnp.sum(jnp.where(mask, w, 0.0), axis=1)
+    # bisection bracket (valid for ALL p >= 1, including p = 1:
+    # op(u_min + (f/Σw)^{1/p}) <= f <= op(u_max + (f/Σw)^{1/p}), both by
+    # Jensen-type bounds) — the batched path uses bisection even at p=1
+    # because the sorted prefix-scan solve costs an (n, k, C) sort per
+    # round, which dominates everything else at hub degrees (k > 100)
+    inc = (f / jnp.maximum(wsum, 1e-30)) ** (1.0 / p)
+    w3 = jnp.where(mask, w, 0.0)[:, :, None]
+
+    def node_solve(u):
+        un = u[g.cols]                               # (n, k, C) one gather
+        a = jnp.min(jnp.where(mask[:, :, None], un, big), axis=1) + inc[:, None]
+        b = (jnp.max(jnp.where(mask[:, :, None], un, -big), axis=1)
+             + inc[:, None])
+
+        def bis(i, ab):
+            a, b = ab
+            t = 0.5 * (a + b)
+            v = jnp.maximum(t[:, None, :] - un, 0.0)
+            if p != 1:       # p static: p=1 skips the transcendental pow
+                v = v ** p
+            op = jnp.sum(v * w3, axis=1)
+            hi = op > f[:, None]
+            return jnp.where(hi, a, t), jnp.where(hi, t, b)
+
+        a, b = jax.lax.fori_loop(0, num_bisection_it, bis, (a, b))
+        return 0.5 * (a + b)
+
+    def body(state):
+        u, err, it = state
+        u_new = jnp.where(bdy_mask, 0.0, node_solve(u))
+        err = jnp.max(jnp.abs(u_new - u))
+        return u_new, err, it + 1
+
+    def cond(state):
+        u, err, it = state
+        return jnp.logical_and(err > tol, it < max_iter)
+
+    u0 = jnp.where(bdy_mask, 0.0, u0)
+    u, _, _ = jax.lax.while_loop(
+        cond, body, (u0, jnp.asarray(jnp.inf, u0.dtype), 0))
+    return u
+
+
+def peikonal_mc(g: SparseGraph, bdy_sets, f=1, p=1, max_num_it=10**5,
+                tol=1e-3, num_bisection_it=30, accel=None):
+    """One-vs-rest batched p-eikonal (zero boundary values): ``bdy_sets``
+    is a list of C index arrays (class-c training points).  Warm-started
+    per class from the first-neighbor distance approximation
+    ``u_i ≈ u_j + (f_j/w_ij)^{1/p}`` (exact when one neighbor is active),
+    computed by the band min-plus Bellman-Ford when an accel is given —
+    the remaining Jacobi error is boundary-localized."""
+    n = g.n
+    dtype = g.vals.dtype
+    C = len(bdy_sets)
+    if np.isscalar(f) or np.ndim(f) == 0:
+        f = np.full((n,), float(f))
+    f = np.asarray(f, dtype=float)
+    bdy_mask = np.zeros((n, C), dtype=bool)
+    for c, bs in enumerate(bdy_sets):
+        bdy_mask[np.asarray(bs), c] = True
+
+    u0 = np.zeros((n, C))
+    if accel is not None and getattr(accel, "materialize", False) \
+            and np.all(f > 0):
+        fq = f ** (1.0 / p)
+        cols = []
+        for bs in bdy_sets:
+            d = dijkstra(g, np.asarray(bs), bdy_val=0.0, f=fq,
+                         reciprocal_weights=(p == 1), accel=accel)
+            cols.append(d)
+        u0 = np.stack(cols, axis=1)
+        finite = np.isfinite(u0)
+        cap = u0[finite].max() if finite.any() else 0.0
+        u0[~finite] = cap
+    tol = max(tol, 100 * float(jnp.finfo(dtype).eps))
+    u = _peikonal_jacobi_mc(
+        g, jnp.asarray(u0, dtype=dtype), jnp.asarray(bdy_mask),
+        jnp.asarray(f, dtype=dtype), jnp.asarray(tol, dtype=dtype),
+        p=float(p), max_iter=int(max_num_it),
+        num_bisection_it=int(num_bisection_it),
+    )
+    return np.asarray(u).astype(float)
 
 
 def peikonal(g: SparseGraph, bdy_set, bdy_val=0, f=1, p=1, max_num_it=10**5,

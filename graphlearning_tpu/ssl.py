@@ -1085,6 +1085,7 @@ class dynamic_label_propagation(ssl):
         d = np.asarray(W.sum(1)).ravel()
         P = jnp.asarray(np.asarray(W.todense()) / d[:, None], dtype=dtype)
         K = utils.labels_to_onehot(train_labels, k)
+        k = K.shape[1]     # onehot widens k for non-consecutive label ids
         u = np.zeros((n, k))
         u[train_ind] = K
         ti = jnp.asarray(train_ind)
@@ -1346,6 +1347,17 @@ class peikonal(ssl):
                                    f=self.f, p=self.p,
                                    max_num_it=self.max_num_it, tol=self.tol,
                                    num_bisection_it=self.num_bisection_it)
+
+    def _fit_onevsrest(self, train_ind, train_labels, unique_labels):
+        from graphlearning_tpu.solvers.eikonal import peikonal_mc
+
+        acc = _accel.maybe_build(self.graph.weight_matrix, cache_obj=self,
+                                 attr="_accel_dist", exact=False, fast=True)
+        bdy_sets = [train_ind[train_labels == l] for l in unique_labels]
+        return peikonal_mc(self.graph.sparse, bdy_sets, f=self.f, p=self.p,
+                           max_num_it=self.max_num_it, tol=self.tol,
+                           num_bisection_it=self.num_bisection_it,
+                           accel=acc)
 
 
 class plaplace(ssl):

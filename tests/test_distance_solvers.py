@@ -335,3 +335,22 @@ def test_bucketed_lip_matches_plain():
     uw_plain = np.asarray(_lip_iterate_weighted_mc(g, *wargs()))
     uw_buck = np.asarray(_lip_iterate_weighted_mc_bucketed(b, *wargs()))
     np.testing.assert_allclose(uw_buck, uw_plain, rtol=1e-5, atol=1e-6)
+
+
+def test_peikonal_mc_matches_per_class():
+    """Class-batched p-eikonal must match per-class solves."""
+    from graphlearning_tpu.core.sparse import SparseGraph
+    from graphlearning_tpu.solvers.eikonal import peikonal, peikonal_mc
+    import graphlearning_tpu as gl
+
+    rs = np.random.RandomState(1)
+    X = rs.rand(400, 2)
+    W = gl.weightmatrix.knn(X, 8)
+    g = SparseGraph.from_scipy(W)
+    labels = (X[:, 0] * 3).astype(int)
+    sets = [np.where(labels == c)[0][:4] for c in range(3)]
+    for p in (1, 2):
+        u_mc = peikonal_mc(g, sets, p=p, tol=1e-6)
+        for c in range(3):
+            u_c = peikonal(g, sets[c], bdy_val=0, p=p, tol=1e-6)
+            np.testing.assert_allclose(u_mc[:, c], u_c, rtol=1e-4, atol=1e-5)

@@ -138,6 +138,29 @@ class incres(clustering):
         u = rs.randint(0, k, size=n)
         m = 1
 
+        if all_labels is None:
+            # fused fixed point: all T plant/grow/harvest rounds run as ONE
+            # device program (seed planting = Gumbel-top-k on device; the
+            # reference's per-round host np.random planting is replaced by
+            # the jax RNG — the algorithm is stochastic either way)
+            from graphlearning_tpu.ops import accel as _accel
+
+            key = jax.random.PRNGKey(0 if self.seed is None else self.seed)
+            acc = _accel.maybe_build(G.weight_matrix, cache_obj=self,
+                                     attr="_accel_incres", exact=False,
+                                     fast=True)
+            u0 = jnp.asarray(u, dtype=jnp.int32)
+            if acc is not None:
+                deg_p = acc.to_perm(jnp.asarray(deg))
+                dinv_p = jnp.where(deg_p > 0,
+                                   1.0 / jnp.where(deg_p == 0, 1.0, deg_p),
+                                   0.0)
+                return np.array(acc.incres(dinv_p, u0, key, k=k, T=self.T,
+                                           Dm=Dm, n_true=n))
+            return np.array(_incres_loop_xla(
+                g, jnp.asarray(deg, dtype=config.float_dtype()), u0, key,
+                k=k, T=self.T, Dm=Dm))
+
         @jax.jit
         def grow(F):
             # F ← P F = W D^-1 F until every node is reached; capped at n
@@ -167,6 +190,49 @@ class incres(clustering):
                 acc = clustering_accuracy(u, all_labels)
                 print("Iteration %d: Accuracy = %.2f%%, #seeds = %d" % (i, acc, m))
         return u
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("k", "T", "Dm"))
+def _incres_loop_xla(g, deg, u0, key, *, k, T, Dm):
+    """Fused INCRES loop on the gather-path SpMM (accel counterpart:
+    ``ops.accel._incres_accel``)."""
+    n = u0.shape[0]
+    max_m = 1 + (T - 1) * Dm
+    neg_inf = -jnp.inf
+    dinv = jnp.where(deg > 0, 1.0 / jnp.where(deg == 0, 1.0, deg), 0.0)
+
+    def grow(F):
+        def cond(state):
+            F, it = state
+            return jnp.logical_and(jnp.min(F) == 0, it < n)
+
+        def body(state):
+            F, it = state
+            return _ops.spmm(g, dinv[:, None] * F), it + 1
+
+        return jax.lax.while_loop(cond, body, (F, 0))[0]
+
+    def round_fn(carry, i):
+        u, key = carry
+        key, sub = jax.random.split(key)
+        scores = jax.random.uniform(sub, (k, n))
+        member = u[None, :] == jnp.arange(k)[:, None]
+        member = member | (~jnp.any(member, axis=1))[:, None]
+        s = jnp.where(member, scores, neg_inf)
+        top_vals, top_idx = jax.lax.top_k(s, max_m)
+        m_i = 1 + i * Dm
+        take = ((jnp.arange(max_m)[None, :] < m_i)
+                & (top_vals > neg_inf)).astype(deg.dtype)
+        F = jnp.zeros((n, k), deg.dtype)
+        F = F.at[top_idx, jnp.arange(k)[:, None]].add(take)
+        F = grow(F)
+        return (jnp.argmax(F, axis=1).astype(jnp.int32), key), None
+
+    (u, _), _ = jax.lax.scan(round_fn, (u0, key), jnp.arange(T))
+    return u
 
 
 def withinss(x):

@@ -438,6 +438,20 @@ class AccelSpMM:
             jnp.asarray(dt, deg_p.dtype), self._perm_dev, self._inv_dev,
             Ns=int(Ns), T=int(T), **self._statics())
 
+    def incres(self, dinv_p, u0, key, k: int, T: int, Dm: int, n_true: int):
+        """FULL INCRES clustering loop (reference ``clustering.py:282-371``)
+        as ONE jitted program: per round, plant ``m`` random seeds per
+        cluster (Gumbel-top-k on device — replaces the host np.random
+        planting), grow by random-walk diffusion until every node is
+        reached (banded SpMM in a while_loop), harvest by argmax, then
+        ``m += Dm``.  Labels stay in ORIGINAL node order."""
+        band = self.band() if self.materialize else None
+        return _incres_accel(
+            self.g, band, self._resid, *self._plan_dev, dinv_p,
+            jnp.asarray(u0, jnp.int32), key, self._perm_dev, self._inv_dev,
+            k=int(k), T=int(T), Dm=int(Dm), n_true=int(n_true),
+            **self._statics())
+
     def poisson_gd(self, deg_p, Db_p, v0_p, min_iter: int, max_iter: int,
                    n_true: int):
         """Poisson-learning gradient descent ``u ← Db + D^{-1} W u`` with
@@ -626,6 +640,59 @@ def _bellman_ford_accel(gp, band, resid, winstart, rrows, rslots, d0_p, f_p,
     hops = max(1, int(np.ceil(np.log2(max(2, n)))))
     root = jax.lax.fori_loop(0, hops, dbl, parent)
     return d, root
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "T", "Dm", "n_true") + _STATICS)
+def _incres_accel(gp, band, resid, winstart, rrows, rslots, dinv_p, u0, key,
+                  perm_dev, inv_dev, *, k, T, Dm, n_true, Wwin, R, WT, kcap,
+                  mode, interpret, max_iter=0):
+    spmm = _make_spmm(gp, band, resid, winstart, rrows, rslots, Wwin, R, WT,
+                      kcap, mode, interpret)
+    valid = (perm_dev >= 0)[:, None]
+    clip = jnp.clip(perm_dev, 0, None)
+    max_m = 1 + (T - 1) * Dm
+    neg_inf = -jnp.inf
+
+    def grow(F):
+        # F <- P F until every TRUE node is reached (padding rows excluded
+        # from the stop test); capped at n rounds (diameter bound)
+        F_p = jnp.where(valid, jnp.take(F, clip, axis=0), 0.0)
+
+        def cond(state):
+            F_p, it = state
+            # reference stop test (clustering.py grow): EVERY cluster's
+            # diffusion reaches EVERY node; padding rows masked out
+            return jnp.logical_and(
+                jnp.min(jnp.where(valid, F_p, 1.0)) == 0, it < n_true)
+
+        def body(state):
+            F_p, it = state
+            # reference grow step F <- W (D^-1 F) (clustering.py:341-346)
+            return spmm(dinv_p[:, None] * F_p), it + 1
+
+        F_p, _ = jax.lax.while_loop(cond, body, (F_p, 0))
+        return jnp.take(F_p, inv_dev, axis=0)
+
+    def round_fn(carry, i):
+        u, key = carry
+        key, sub = jax.random.split(key)
+        scores = jax.random.uniform(sub, (k, n_true))
+        member = u[None, :] == jnp.arange(k)[:, None]
+        member = member | (~jnp.any(member, axis=1))[:, None]  # empty: all
+        s = jnp.where(member, scores, neg_inf)
+        top_vals, top_idx = jax.lax.top_k(s, max_m)            # (k, max_m)
+        m_i = 1 + i * Dm
+        take = ((jnp.arange(max_m)[None, :] < m_i)
+                & (top_vals > neg_inf)).astype(jnp.float32)
+        F = jnp.zeros((n_true, k), jnp.float32)
+        F = F.at[top_idx, jnp.arange(k)[:, None]].add(take)
+        F = grow(F)
+        u = jnp.argmax(F, axis=1).astype(jnp.int32)
+        return (u, key), None
+
+    (u, _), _ = jax.lax.scan(round_fn, (u0, key), jnp.arange(T))
+    return u
 
 
 @functools.partial(jax.jit, static_argnames=("Ns", "T") + _STATICS)

@@ -452,6 +452,21 @@ class AccelSpMM:
             k=int(k), T=int(T), Dm=int(Dm), n_true=int(n_true),
             **self._statics())
 
+    def centered_kernel(self, K_p, mask_p, alpha_factor, tol, key,
+                        power_it: int, n_true: int, max_iter: int = 10**5):
+        """Centered-kernel fixed point (reference ``ssl.py:1346-1426``) on
+        the banded SpMM: power iteration for the top centered-kernel
+        eigenvalue, then ``u += (A u / alpha - u)`` off the training set,
+        all in permuted space (column means over TRUE rows only)."""
+        band = self.band() if self.materialize else None
+        return _centered_kernel_accel(
+            self.g, band, self._resid, *self._plan_dev, K_p, mask_p,
+            (self._perm_dev >= 0),
+            jnp.asarray(alpha_factor, K_p.dtype),
+            jnp.asarray(tol, K_p.dtype), key,
+            power_it=int(power_it), n_true=int(n_true),
+            **self._statics(max_iter=int(max_iter)))
+
     def poisson_gd(self, deg_p, Db_p, v0_p, min_iter: int, max_iter: int,
                    n_true: int):
         """Poisson-learning gradient descent ``u ← Db + D^{-1} W u`` with
@@ -640,6 +655,50 @@ def _bellman_ford_accel(gp, band, resid, winstart, rrows, rslots, d0_p, f_p,
     hops = max(1, int(np.ceil(np.log2(max(2, n)))))
     root = jax.lax.fori_loop(0, hops, dbl, parent)
     return d, root
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("power_it", "n_true") + _STATICS)
+def _centered_kernel_accel(gp, band, resid, winstart, rrows, rslots, K_p,
+                           mask_p, valid, alpha_factor, tol, key, *,
+                           power_it, n_true, Wwin, R, WT, kcap, mode,
+                           interpret, max_iter):
+    spmm = _make_spmm(gp, band, resid, winstart, rrows, rslots, Wwin, R, WT,
+                      kcap, mode, interpret)
+    v2 = valid[:, None]
+
+    def center(X):
+        s = jnp.sum(jnp.where(v2, X, 0.0), axis=0, keepdims=True)
+        return jnp.where(v2, X - s / n_true, 0.0)
+
+    def A(X):
+        return center(spmm(center(X)))
+
+    e = jax.random.normal(key, (K_p.shape[0], 1), dtype=K_p.dtype)
+    e = jnp.where(v2, e, 0.0)
+
+    def pbody(i, e):
+        w = A(e)
+        return w / jnp.linalg.norm(w)
+
+    e = jax.lax.fori_loop(0, power_it, pbody, e)
+    l = jnp.abs(jnp.vdot(e, A(e)) / jnp.vdot(e, e))
+    alpha = alpha_factor * l
+
+    def cond(state):
+        u, err, it = state
+        return jnp.logical_and(err > tol, it < max_iter)
+
+    def body(state):
+        u, err, it = state
+        w = A(u) / alpha - u
+        w = jnp.where(mask_p[:, None], 0.0, w)
+        err = jnp.max(jnp.abs(w))
+        return u + w, err, it + 1
+
+    u, _, _ = jax.lax.while_loop(
+        cond, body, (K_p, jnp.asarray(jnp.inf, K_p.dtype), 0))
+    return u
 
 
 @functools.partial(jax.jit,

@@ -1130,10 +1130,8 @@ class centered_kernel(ssl):
         n = self.graph.num_nodes
         k = len(np.unique(train_labels))
         dtype = config.float_dtype()
-        W = self.graph.weight_matrix.copy()
-        W.setdiag(0)
-        W.eliminate_zeros()
-        g = SparseGraph.from_scipy(W)
+        W, G = self._nodiag_graph()
+        g = G.sparse
 
         K = np.zeros((n, k))
         K[train_ind] = utils.labels_to_onehot(train_labels, k)
@@ -1143,6 +1141,16 @@ class centered_kernel(ssl):
         mask[train_ind] = True
         maskj = jnp.asarray(mask)
         tol = max(self.tol, 100 * float(jnp.finfo(dtype).eps))
+
+        # banded fast path: the fixed point is hundreds of SpMM rounds
+        acc = _accel.maybe_build(W, cache_obj=self, attr="_accel_ck",
+                                 exact=True)
+        if acc is not None:
+            u_p = acc.centered_kernel(
+                acc.to_perm(Kj), acc.to_perm(maskj, fill=True),
+                self.alpha, tol, jax.random.PRNGKey(self.seed),
+                power_it=self.power_it, n_true=n)
+            return np.asarray(acc.from_perm(u_p))
 
         def center(X):
             return X - jnp.mean(X, axis=0, keepdims=True)

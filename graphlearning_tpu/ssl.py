@@ -1202,60 +1202,94 @@ class sparse_label_propagation(ssl):
         self.accuracy_filename = "_sparse_label_propagation"
         self.name = "Sparse LP"
 
-    def _fit(self, train_ind, train_labels, all_labels=None):
-        from graphlearning_tpu.ops.graphops import build_mirror
+    def _edge_list(self):
+        """Flat COO edge arrays + mirror permutation (cached on the scipy
+        matrix).  The padded-ELL edge layout pays ``n * max_degree`` per
+        edge-field op — one hub makes every row carry its padding — while
+        the flat list is exactly nnz (padded to a block), with the dual
+        variable transported to the reverse edge by one permutation
+        gather."""
+        W0 = self.graph.weight_matrix
+        cached = getattr(W0, "_glt_edges", None)
+        if cached is None:
+            coo = W0.tocoo()
+            m = coo.nnz
+            n = W0.shape[0]
+            mp = max(256, ((m + 255) // 256) * 256)
+            erow = np.full(mp, n, np.int32)       # pad -> dropped segment
+            ecol = np.zeros(mp, np.int32)
+            ew = np.zeros(mp, np.float64)
+            erow[:m] = coo.row
+            ecol[:m] = coo.col
+            ew[:m] = coo.data
+            # mirror: position of edge (col, row); symmetric patterns only
+            key = erow.astype(np.int64) * (n + 1) + ecol
+            mkey = ecol.astype(np.int64) * (n + 1) + erow
+            mkey[m:] = key[m:]                    # pads mirror themselves
+            order = np.argsort(key, kind="stable")
+            pos = np.searchsorted(key[order], mkey)
+            pos = np.clip(pos, 0, mp - 1)
+            emir = np.where(key[order][pos] == mkey, order[pos],
+                            np.arange(mp)).astype(np.int32)
+            cached = (jnp.asarray(erow), jnp.asarray(ecol),
+                      jnp.asarray(ew, dtype=config.float_dtype()),
+                      jnp.asarray(emir))
+            try:
+                W0._glt_edges = cached
+            except Exception:
+                pass
+        return cached
 
+    def _fit(self, train_ind, train_labels, all_labels=None):
         n = self.graph.num_nodes
         kc = len(np.unique(train_labels))
-        g = self.graph.sparse
         dtype = config.float_dtype()
-        mirror_idx, has = self.graph.mirror()
-        mask = g.mask()
+        erow, ecol, ew, emir = self._edge_list()
 
         onehot = utils.labels_to_onehot(train_labels, kc)
         ti = jnp.asarray(train_ind)
         onehot_j = jnp.asarray(onehot, dtype=dtype)
-        deg = _ops.degree_vector(g)
-        gamma = 1.0 / deg
-        # lam_ij = 1/(2 w_ij + 1e-10)  (the reference computes this with
-        # log1p/expm1 sparse-safe algebra, ssl.py:1460-1463)
-        lam = jnp.where(mask, 1.0 / (2.0 * g.vals + 1e-10), 0.0)
+        deg = _ops.degree_vector(self.graph.sparse)
+        gamma = jnp.asarray(1.0 / deg, dtype=dtype)
+        return np.asarray(_sparse_lp_run(
+            erow, ecol, ew, emir, gamma, ti, onehot_j, n=n, kc=kc,
+            T=self.T))
 
-        @jax.jit
-        def run():
-            u0 = jnp.zeros((n, kc), dtype=dtype)
-            Y0 = jnp.zeros((n, g.k, kc), dtype=dtype)
 
-            def grad_all(u):
-                # weighted gradient per class: (n, k_edges, kc)
-                diff = u[g.cols] - u[:, None, :]
-                return jnp.where(mask[:, :, None], g.vals[:, :, None] * diff, 0.0)
+@functools.partial(jax.jit, static_argnames=("n", "kc", "T"))
+def _sparse_lp_run(erow, ecol, ew, emir, gamma, ti, onehot_j, *, n, kc, T):
+    """Primal-dual TV iteration on the flat edge list (reference
+    ``ssl.py:1457-1508``; per-class loop batched over the class axis).
+    ``lam_e = 1/(2 w_e + 1e-10)``; zero-weight pad edges contribute 0 to
+    both the gradient and the divergence."""
+    dtype = gamma.dtype
+    lam = 1.0 / (2.0 * ew + 1e-10)
 
-            def div_all(Y):
-                Yt = jnp.where(
-                    has[:, :, None],
-                    Y.reshape(n * g.k, kc)[mirror_idx.reshape(-1)].reshape(n, g.k, kc),
-                    0.0,
-                )
-                Aa = g.vals[:, :, None] * (Y - Yt)
-                return 0.5 * jnp.sum(jnp.where(mask[:, :, None], Aa, 0.0), axis=1)
+    def grad_all(u):                              # (m, kc)
+        return ew[:, None] * (jnp.take(u, ecol, axis=0)
+                              - jnp.take(u, jnp.clip(erow, 0, n - 1), axis=0))
 
-            def body(i, state):
-                u, Y = state
-                u_prev = u
-                div = 2.0 * div_all(Y)
-                u = u_prev - gamma[:, None] * div
-                u = u.at[ti].set(onehot_j)
-                u_tilde = 2.0 * u - u_prev
-                Gu = -grad_all(u_tilde)
-                Y = Y + Gu * lam[:, :, None]
-                Y = jnp.clip(Y, -1.0, 1.0)
-                return u, Y
+    def div_all(Y):                               # (n, kc)
+        contrib = ew[:, None] * (Y - jnp.take(Y, emir, axis=0))
+        return 0.5 * jax.ops.segment_sum(contrib, erow,
+                                         num_segments=n + 1)[:n]
 
-            u, Y = jax.lax.fori_loop(0, self.T, body, (u0, Y0))
-            return u
+    def body(i, state):
+        u, Y = state
+        u_prev = u
+        div = 2.0 * div_all(Y)
+        u = u_prev - gamma[:, None] * div
+        u = u.at[ti].set(onehot_j)
+        u_tilde = 2.0 * u - u_prev
+        Gu = -grad_all(u_tilde)
+        Y = Y + Gu * lam[:, None]
+        Y = jnp.clip(Y, -1.0, 1.0)
+        return u, Y
 
-        return np.asarray(run())
+    u0 = jnp.zeros((n, kc), dtype=dtype)
+    Y0 = jnp.zeros((erow.shape[0], kc), dtype=dtype)
+    u, _ = jax.lax.fori_loop(0, T, body, (u0, Y0))
+    return u
 
 
 class graph_nearest_neighbor(ssl):

@@ -96,7 +96,6 @@ class fokker_planck(clustering):
         self.rho = np.ones(self.graph.num_nodes) if rho is None else np.asarray(rho)
 
     def _fit(self, all_labels=None):
-        import sklearn.cluster as cluster
         import scipy.sparse as sp
 
         G = self.graph
@@ -110,9 +109,12 @@ class fokker_planck(clustering):
                                G.num_nodes, G.num_nodes)
         Q = self.beta * Qms + (1 - self.beta) * Q1
         Qd = jnp.asarray(Q.toarray(), dtype=config.float_dtype())
-        expQt = np.asarray(jax.scipy.linalg.expm(Qd * self.t))
-        km = cluster.KMeans(n_clusters=self.num_clusters, n_init=10).fit(expQt)
-        return km.labels_
+        expQt = jax.scipy.linalg.expm(Qd * self.t)
+        # device k-means: sklearn on an (n, n) embedding costs tens of
+        # seconds host-side (and a large device->host transfer)
+        from graphlearning_tpu.solvers.kmeans import kmeans
+
+        return kmeans(expQt, self.num_clusters, n_init=10)
 
 
 class incres(clustering):

@@ -1061,6 +1061,18 @@ class modularity_mbo(ssl):
         return np.asarray(u)
 
 
+@jax.jit
+def _dynamic_lp_step(P, u, Pt, ti, Kj, alpha, lam):
+    """One dynamic-LP round (reference ssl.py:1318-1341): dense MXU
+    matmuls ``Pt <- P Pt P^T + alpha v v^T + lam I``."""
+    n = P.shape[0]
+    v = P @ u
+    u = Pt @ u
+    u = u.at[ti].set(Kj)
+    Pt = P @ Pt @ P.T + alpha * (v @ v.T) + lam * jnp.eye(n, dtype=P.dtype)
+    return u, Pt
+
+
 class dynamic_label_propagation(ssl):
     """Dynamic label propagation (Wang-Tu-Tsotsos; reference
     ``ssl.py:1263-1343``): dense T-step propagation with kernel update
@@ -1090,20 +1102,15 @@ class dynamic_label_propagation(ssl):
         u[train_ind] = K
         ti = jnp.asarray(train_ind)
         Kj = jnp.asarray(K, dtype=dtype)
-        alpha, lam = self.alpha, self.lam
-
-        @jax.jit
-        def step(u, Pt):
-            v = P @ u
-            u = Pt @ u
-            u = u.at[ti].set(Kj)
-            Pt = P @ Pt @ P.T + alpha * (v @ v.T) + lam * jnp.eye(n, dtype=dtype)
-            return u, Pt
 
         uj = jnp.asarray(u, dtype=dtype)
         Pt = P
         for i in range(self.T):
-            uj, Pt = step(uj, Pt)
+            # module-level jit: a per-fit closure would recompile the dense
+            # n x n matmul chain on every fit
+            uj, Pt = _dynamic_lp_step(P, uj, Pt, ti, Kj,
+                                      jnp.asarray(self.alpha, dtype),
+                                      jnp.asarray(self.lam, dtype))
             if all_labels is not None:
                 self.prob = np.asarray(uj)
                 acc = ssl_accuracy(self.predict(), all_labels, train_ind)

@@ -88,6 +88,24 @@ def _build_P(X, perplexity):
     return SparseGraph.from_scipy(Psp, dtype=jnp.float32)
 
 
+def _pow_static(x, e: float):
+    """``x ** e`` with fast exact forms for the common static exponents
+    (theta1=2 -> e=1, theta2=3 -> e=1.5 in the reference ARS kernels,
+    sptree.cpp:366,400): a general float pow lowers to exp/log on the VPU
+    and dominates the all-pairs repulsion."""
+    if e == 1.0:
+        return x
+    if e == 0.5:
+        return jnp.sqrt(x)
+    if e == 1.5:
+        return x * jnp.sqrt(x)
+    if e == 2.0:
+        return x * x
+    if float(e).is_integer() and 0 < e <= 8:
+        return x ** int(e)
+    return jnp.power(x, e)
+
+
 @functools.partial(jax.jit, static_argnames=("theta1", "theta2", "chunk"))
 def _ars_forces(Y, cols, vals, valid, theta1: float, theta2: float,
                 chunk: int):
@@ -99,7 +117,7 @@ def _ars_forces(Y, cols, vals, valid, theta1: float, theta2: float,
     Yj = jnp.take(Y, cols, axis=0)                   # (n, k, dim)
     diff = Y[:, None, :] - Yj
     D2 = jnp.sum(diff * diff, axis=2)
-    coef = vals / (1.0 + jnp.power(jnp.maximum(D2, 1e-35), theta1 / 2.0))
+    coef = vals / (1.0 + _pow_static(jnp.maximum(D2, 1e-35), theta1 / 2.0))
     pos_f = jnp.sum(coef[:, :, None] * diff, axis=1)
 
     # exact all-pairs repulsion, chunked over rows (MXU for the Gram part)
@@ -114,7 +132,7 @@ def _ars_forces(Y, cols, vals, valid, theta1: float, theta2: float,
         D2c = jnp.maximum(D2c, 0.0)
         offdiag = (idc[:, None] != ids[None, :]) & valid[None, :]
         q = jnp.where(offdiag, 1.0 / (1.0 + D2c), 0.0)
-        psi = 1.0 / (1.0 + jnp.power(jnp.maximum(D2c, 1e-35), theta2 / 2.0))
+        psi = 1.0 / (1.0 + _pow_static(jnp.maximum(D2c, 1e-35), theta2 / 2.0))
         qpsi = q * psi
         # sum_j q psi (y_i - y_j) = y_i * sum_j qpsi - qpsi @ Y
         num = Yc * jnp.sum(qpsi, 1)[:, None] - qpsi @ Y

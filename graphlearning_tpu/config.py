@@ -45,3 +45,49 @@ def is_tpu() -> bool:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
+
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class GLTConfig:
+    """Framework-wide execution config (SURVEY.md §5 'config/flag system').
+
+    One config drives both single-chip and sharded execution: the mesh /
+    partition fields describe the distribution layer (``parallel.execute``
+    builds a ``Distributor`` from them), the dtype/tolerance fields the
+    solver numerics.  ``None`` fields fall back to the module defaults
+    (``float_dtype()``, per-model tolerances).
+
+    The reference has no config system at all — pure kwargs plus global
+    directory constants (reference ssl.py:129, weightmatrix.py:17).
+    """
+
+    # -- distribution -------------------------------------------------------
+    mesh_shape: Optional[Tuple[int, ...]] = None   # None -> all devices 1-D
+    mesh_axes: Tuple[str, ...] = ("nodes",)        # partition axis first
+    node_axis: str = "nodes"                       # axis graphs shard over
+    devices: Any = None                            # default: jax.devices()
+
+    # -- numerics -----------------------------------------------------------
+    dtype: Any = None                              # None -> float_dtype()
+    cg_tol: Optional[float] = None                 # None -> model tolerance
+    cg_max_iter: int = 10**5
+
+    def resolve_dtype(self):
+        return self.dtype if self.dtype is not None else float_dtype()
+
+    def make_mesh(self):
+        """Build the jax Mesh this config describes."""
+        import numpy as np
+        from jax.sharding import Mesh
+
+        devices = self.devices if self.devices is not None else jax.devices()
+        shape = self.mesh_shape
+        if shape is None:
+            shape = (len(devices),) + (1,) * (len(self.mesh_axes) - 1)
+        n = int(np.prod(shape))
+        dev = np.asarray(devices[:n]).reshape(shape)
+        return Mesh(dev, axis_names=self.mesh_axes)

@@ -7,6 +7,7 @@ from graphlearning_tpu.parallel.shard import (
     sharded_spmm_ring,
     put_features,
 )
+from graphlearning_tpu.parallel.execute import Distributor
 
 __all__ = [
     "make_mesh",
@@ -18,4 +19,5 @@ __all__ = [
     "sharded_spmm",
     "sharded_spmm_ring",
     "put_features",
+    "Distributor",
 ]

@@ -1,0 +1,368 @@
+"""Sharded model execution — the distribution layer the models run on.
+
+This module turns a :class:`graphlearning_tpu.config.GLTConfig` (or a bare
+``jax.sharding.Mesh``) into a :class:`Distributor` that
+
+* row-partitions a graph's padded-ELL arrays over the config's node axis
+  (node count padded to a multiple of the axis size; padding rows have
+  degree 0 and self-pointing columns, so every solver treats them as
+  zero-value boundary rows),
+* places per-fit inputs (sources, masks, boundary values) with matching
+  ``NamedSharding``s, and
+* runs the SAME jitted solver programs the single-chip path uses — the
+  solvers are pure functions of device arrays, so GSPMD partitions them
+  from the argument shardings alone (XLA inserts the all_gather for the
+  neighbor gather and psum for the CG dot products over ICI).
+
+Models opt in via ``model.distribute(mesh)`` (see ``ssl.ssl.distribute``);
+``fit``/``fit_predict``/``ssl_trials`` then execute sharded with identical
+results (up to float reduction order) — SURVEY.md §7.1 item 4 / §7.2 step
+6.  The reference has no distributed runtime at all (SURVEY.md §2.3); its
+closest analogues are joblib trial forking (reference ssl.py:390-396) and
+the optional single-GPU torch offload (reference ssl.py:649-663).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from graphlearning_tpu import config as _config
+from graphlearning_tpu.core.sparse import SparseGraph
+from graphlearning_tpu.ops import graphops as _ops
+
+
+class Distributor:
+    """Runtime handle for one mesh: shardings + graph/input placement.
+
+    Construct from a ``GLTConfig``, a ``Mesh``, or ``"auto"`` (1-D mesh
+    over all local devices)."""
+
+    def __init__(self, spec="auto"):
+        if isinstance(spec, Distributor):
+            cfg, mesh = spec.config, spec.mesh
+        elif isinstance(spec, Mesh):
+            cfg, mesh = None, spec
+        elif isinstance(spec, _config.GLTConfig):
+            cfg, mesh = spec, spec.make_mesh()
+        elif spec == "auto" or spec is None:
+            cfg = _config.GLTConfig()
+            mesh = cfg.make_mesh()
+        else:
+            raise TypeError(f"cannot build a Distributor from {spec!r}")
+        self.config = cfg or _config.GLTConfig(
+            mesh_axes=mesh.axis_names, node_axis=mesh.axis_names[0])
+        self.mesh = mesh
+        self.axis = self.config.node_axis
+        if self.axis not in mesh.axis_names:
+            raise ValueError(
+                f"node axis {self.axis!r} not in mesh axes {mesh.axis_names}")
+        self.P = int(mesh.shape[self.axis])
+        # cache key for per-W sharded graphs (device identity + axis)
+        self._key = (tuple(str(d) for d in mesh.devices.flat),
+                     mesh.axis_names, self.axis)
+
+    # -- shardings ---------------------------------------------------------
+
+    def rows(self, ndim: int = 2) -> NamedSharding:
+        """Leading (node) axis sharded, rest replicated."""
+        return NamedSharding(self.mesh, P(self.axis, *([None] * (ndim - 1))))
+
+    def replicated(self) -> NamedSharding:
+        return NamedSharding(self.mesh, P())
+
+    # -- placement ---------------------------------------------------------
+
+    def pad_rows(self, X, fill=0.0):
+        """Host-side pad of the leading axis to the padded node count."""
+        X = np.asarray(X)
+        n_pad = (-X.shape[0]) % self.P
+        if n_pad:
+            pad = np.full((n_pad,) + X.shape[1:], fill, dtype=X.dtype)
+            X = np.concatenate([X, pad])
+        return X
+
+    def put_rows(self, X, fill=0.0, dtype=None):
+        """Pad + device_put a per-node array with the row sharding."""
+        X = self.pad_rows(X, fill=fill)
+        if dtype is not None:
+            X = X.astype(dtype)
+        return jax.device_put(jnp.asarray(X), self.rows(X.ndim))
+
+    def shard_graph(self, W) -> tuple[SparseGraph, int]:
+        """Row-shard a graph over the node axis.
+
+        ``W``: scipy sparse matrix (or ``SparseGraph``).  Returns
+        ``(sharded_graph, n_original)``; padding rows have degree 0,
+        ``vals == 0`` and self-pointing columns.  Cached on the W object so
+        repeated fits (trials, model families sharing a graph) pay one
+        transfer."""
+        cache = getattr(W, "_glt_shard_cache", None)
+        if isinstance(cache, dict) and self._key in cache:
+            return cache[self._key]
+        if isinstance(W, SparseGraph):
+            cols, vals, deg = (np.asarray(W.cols), np.asarray(W.vals),
+                               np.asarray(W.deg))
+            n = W.n
+        else:
+            cols, vals, deg = SparseGraph.ell_from_scipy(W)
+            n = W.shape[0]
+        n_extra = (-n) % self.P
+        if n_extra:
+            k = cols.shape[1]
+            pad_cols = np.repeat(
+                np.arange(n, n + n_extra, dtype=cols.dtype)[:, None], k,
+                axis=1)
+            cols = np.concatenate([cols, pad_cols])
+            vals = np.concatenate(
+                [vals, np.zeros((n_extra, k), vals.dtype)])
+            deg = np.concatenate([deg, np.zeros(n_extra, deg.dtype)])
+        dtype = self.config.resolve_dtype()
+        g = SparseGraph(
+            cols=jax.device_put(
+                jnp.asarray(cols, dtype=_config.index_dtype), self.rows(2)),
+            vals=jax.device_put(jnp.asarray(vals, dtype=dtype), self.rows(2)),
+            deg=jax.device_put(
+                jnp.asarray(deg, dtype=_config.index_dtype), self.rows(1)),
+            n=cols.shape[0],
+            k=cols.shape[1],
+        )
+        entry = (g, n)
+        try:
+            if not isinstance(cache, dict):
+                W._glt_shard_cache = cache = {}
+            cache[self._key] = entry
+        except Exception:
+            pass
+        return entry
+
+    def valid_mask(self, n_orig: int, n_pad: int):
+        """(n_pad,) bool — True on real rows, sharded over the node axis."""
+        v = np.zeros(n_pad, dtype=bool)
+        v[:n_orig] = True
+        return jax.device_put(jnp.asarray(v), self.rows(1))
+
+    def gather(self, X, n_orig: int):
+        """Device -> host, truncating mesh-padding rows."""
+        return np.asarray(X)[:n_orig]
+
+
+# =========================================================================
+# Sharded solver programs (guarded for degree-0 mesh-padding rows).
+# Mirrors the math of the single-chip entries (ssl._laplace_constrained,
+# ssl._cg_scaled_solve, ssl._poisson_mbo_loop_xla, ssl._volume_mbo_loop_xla,
+# ops.accel._poisson_gd_accel) — padding rows behave as decoupled
+# zero-boundary rows, so results equal the unsharded ones up to float
+# reduction order.
+# =========================================================================
+
+
+def safe_inv_sqrt_deg(deg):
+    """``deg^{-1/2}`` with 0 on zero-degree (padding) rows."""
+    return jnp.where(deg > 0, jnp.where(deg == 0, 1.0, deg) ** -0.5, 0.0)
+
+
+def safe_inv_deg(deg):
+    return jnp.where(deg > 0, 1.0 / jnp.where(deg == 0, 1.0, deg), 0.0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("min_iter", "max_iter", "n_true"))
+def _poisson_gd_sharded(g, deg, Db, v0, *, min_iter, max_iter, n_true):
+    """Poisson gradient descent ``u <- Db + D^{-1} W u`` with the
+    random-walk mixing-time stop (reference ssl.py:631-677), padding-aware:
+    ``vinf`` is 0 on padding rows (deg 0) and the 1/n threshold uses the
+    true node count.  Symmetric graphs (W == W^T) only — the models
+    guarantee this (graph constructions symmetrize)."""
+    dinv = safe_inv_deg(deg)
+    vinf = deg / jnp.sum(deg)
+
+    def cond(state):
+        u, v, T = state
+        not_mixed = jnp.max(jnp.abs(v - vinf)) > 1.0 / n_true
+        return jnp.logical_and(
+            jnp.logical_or(T < min_iter, not_mixed), T < max_iter)
+
+    def body(state):
+        u, v, T = state
+        u = Db + dinv[:, None] * _ops.spmm(g, u)
+        v = _ops.spmm(g, dinv * v)
+        return u, v, T + 1
+
+    u0 = jnp.zeros_like(Db)
+    u, _, _ = jax.lax.while_loop(cond, body, (u0, v0, 0))
+    return u
+
+
+@functools.partial(jax.jit, static_argnames=("Ns", "T"))
+def _poisson_mbo_sharded(g, deg, Db, u0, w0, priors, dt, valid, *, Ns, T):
+    """Fused PoissonMBO outer loop, padding-aware (class sizes and score
+    normalization exclude padding rows)."""
+    from graphlearning_tpu.solvers import volume as _volume
+
+    def heat_steps(u):
+        def body(j, u):
+            Lu = deg[:, None] * u - _ops.spmm(g, u)
+            return u - dt * Lu + Db
+
+        return jax.lax.fori_loop(0, Ns, body, u)
+
+    return _volume.poisson_mbo_loop(heat_steps, u0, w0, priors, T,
+                                    valid=valid)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "max_iters", "n_true"))
+def _volume_mbo_sharded(g, deg, labels0, fixed_mask, fixed_labels, lower,
+                        upper, temp, key, valid, *, k, max_iters, n_true):
+    """Fused VolumeMBO loop, padding-aware (counts/repair/stopping exclude
+    padding rows; padding labels are frozen)."""
+    from graphlearning_tpu.solvers import volume as _volume
+
+    dinv = safe_inv_deg(deg)
+
+    def dual_conv(labels):
+        u = jax.nn.one_hot(labels, k, dtype=deg.dtype)
+        u = jnp.where(valid[:, None], u, 0.0)
+        a = dinv[:, None] * _ops.spmm(g, u)
+        return dinv[:, None] * _ops.spmm(g, a)
+
+    return _volume.mbo_loop(dual_conv, labels0, fixed_mask, fixed_labels,
+                            lower, upper, temp, key, n_true=n_true,
+                            max_iters=max_iters, valid=valid)
+
+
+# =========================================================================
+# Model-level sharded fits (called from ssl.py when model._dist is set).
+# Each pads + places the inputs, runs the solver SPMD, gathers + truncates.
+# =========================================================================
+
+
+def laplace_fit_sharded(dist: Distributor, W, train_mask, bdy_values, tau,
+                        tol, normalization, order, max_iter=10**5):
+    """Sharded Laplace learning solve (reference ssl.py:1106-1261):
+    mesh-padding rows enter as zero-value boundary rows, which the masked
+    CG treats as decoupled identity rows — the solve on real rows is
+    unchanged."""
+    from graphlearning_tpu import ssl as _ssl
+
+    g, n = dist.shard_graph(W)
+    dtype = dist.config.resolve_dtype()
+    mask = dist.put_rows(np.asarray(train_mask, dtype=bool), fill=True)
+    bdy = dist.put_rows(bdy_values, dtype=dtype)
+    tau_j = dist.put_rows(np.broadcast_to(np.atleast_1d(tau), (n,)),
+                          dtype=dtype)
+    u = _ssl._laplace_constrained(g, tau_j, mask, bdy, tol,
+                                  normalization=normalization,
+                                  order=int(order), max_iter=int(max_iter))
+    return dist.gather(u, n)
+
+
+def poisson_cg_fit_sharded(dist: Distributor, W, source, tol,
+                           max_iter=10**5):
+    """Sharded Poisson learning (conjugate_gradient solver, reference
+    ssl.py:624-629): normalized-Laplacian CG with guarded D^{+-1/2}
+    conjugation (padding rows act as identity with zero rhs)."""
+    from graphlearning_tpu import ssl as _ssl
+
+    g, n = dist.shard_graph(W)
+    dtype = dist.config.resolve_dtype()
+    b = dist.put_rows(source, dtype=dtype)
+    deg = _ops.degree_vector(g)
+    s = safe_inv_sqrt_deg(deg)
+    v = _ssl._cg_scaled_solve(g, s, s[:, None] * b, 1.0, 1.0, tol)
+    return dist.gather(s[:, None] * v, n)
+
+
+def poisson_gd_fit_sharded(dist: Distributor, W, source, train_ind,
+                           min_iter, max_iter):
+    """Sharded Poisson learning (gradient_descent solver)."""
+    g, n = dist.shard_graph(W)
+    dtype = dist.config.resolve_dtype()
+    b = dist.put_rows(source, dtype=dtype)
+    deg = _ops.degree_vector(g)
+    Db = safe_inv_deg(deg)[:, None] * b
+    v0 = np.zeros(n)
+    v0[np.asarray(train_ind)] = 1.0
+    v0 /= v0.sum()
+    v0 = dist.put_rows(v0, dtype=dtype)
+    u = _poisson_gd_sharded(g, deg, Db, v0, min_iter=int(min_iter),
+                            max_iter=int(max_iter), n_true=int(n))
+    return dist.gather(u, n)
+
+
+def poisson_mbo_fit_sharded(dist: Distributor, W, source_scaled, u0, w0,
+                            priors, dt, Ns, T):
+    """Sharded fused PoissonMBO loop (reference ssl.py:774-839)."""
+    g, n = dist.shard_graph(W)
+    dtype = dist.config.resolve_dtype()
+    deg = _ops.degree_vector(g)
+    Db = dist.put_rows(source_scaled, dtype=dtype)
+    u0 = dist.put_rows(u0, dtype=dtype)
+    valid = dist.valid_mask(n, g.n)
+    uj, w, err = _poisson_mbo_sharded(
+        g, deg, Db, u0, jnp.asarray(w0, dtype=dtype),
+        jnp.asarray(priors, dtype=dtype), jnp.asarray(dt, dtype=dtype),
+        valid, Ns=int(Ns), T=int(T))
+    return dist.gather(uj, n), np.asarray(w), float(err)
+
+
+def volume_mbo_fit_sharded(dist: Distributor, W, labels0, fixed_mask,
+                           fixed_labels, lower, upper, temp, key, k,
+                           max_iters):
+    """Sharded fused VolumeMBO loop (reference mbo_convolution.cpp run_mbo)."""
+    g, n = dist.shard_graph(W)
+    dtype = dist.config.resolve_dtype()
+    deg = _ops.degree_vector(g)
+    labels0 = dist.put_rows(np.asarray(labels0, np.int32))
+    fixed_mask = dist.put_rows(np.asarray(fixed_mask, dtype=bool))
+    fixed_labels = dist.put_rows(np.asarray(fixed_labels, np.int32))
+    valid = dist.valid_mask(n, g.n)
+    out, iters = _volume_mbo_sharded(
+        g, deg, labels0, fixed_mask, fixed_labels,
+        jnp.asarray(lower, dtype=dtype), jnp.asarray(upper, dtype=dtype),
+        jnp.asarray(temp, dtype=dtype), key, valid,
+        k=int(k), max_iters=int(max_iters), n_true=int(n))
+    return dist.gather(out, n)
+
+
+def lip_fit_sharded(dist: Distributor, W, bdy_set, bdy_vals, *, alpha=None,
+                    beta=None, weighted=False, tol=1e-5, max_num_it=10**5,
+                    u0=None):
+    """Sharded one-vs-rest p-Laplace/AMLE lip iteration (reference
+    lp_iterate.cpp): mesh-padding rows enter as boundary rows pinned to 0,
+    so the Jacobi fixed point on real rows is unchanged — this reuses the
+    SAME jitted ``_lip_iterate_mc``/``_lip_iterate_weighted_mc`` programs
+    as the single-chip path."""
+    from graphlearning_tpu.solvers.plaplace import (
+        _lip_iterate_mc, _lip_iterate_weighted_mc)
+
+    g, n = dist.shard_graph(W)
+    dtype = dist.config.resolve_dtype()
+    bdy_set = np.asarray(bdy_set)
+    bdy_vals = np.asarray(bdy_vals, dtype=float)
+    C = bdy_vals.shape[1]
+    bdy_mask = np.zeros(n, dtype=bool)
+    bdy_mask[bdy_set] = True
+    gvals = np.zeros((n, C))
+    gvals[bdy_set] = bdy_vals
+    if u0 is None:
+        u0 = np.zeros((n, C))
+    mask = dist.put_rows(bdy_mask, fill=True)   # padding rows = boundary 0
+    gv = dist.put_rows(gvals, dtype=dtype)
+    u0 = dist.put_rows(np.asarray(u0), dtype=dtype)
+    tol = max(float(tol), 100 * float(jnp.finfo(dtype).eps))
+    if weighted:
+        u = _lip_iterate_weighted_mc(g, u0, mask, gv,
+                                     jnp.asarray(tol, dtype=dtype),
+                                     int(max_num_it))
+    else:
+        u = _lip_iterate_mc(g, u0, mask, gv,
+                            jnp.asarray(alpha, dtype=dtype),
+                            jnp.asarray(beta, dtype=dtype),
+                            jnp.asarray(tol, dtype=dtype), int(max_num_it))
+    return dist.gather(u, n)

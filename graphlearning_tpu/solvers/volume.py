@@ -20,23 +20,32 @@ import jax.numpy as jnp
 
 
 def assign_labels(a, fixed_mask, fixed_labels, lower, upper,
-                  max_price_it: int = 500):
+                  max_price_it: int = 500, valid=None):
     """Traceable volume-constrained assignment (see module docstring).
 
     ``a``: (n, k) affinities.  Returns int labels of shape (n,) satisfying
     ``lower <= counts <= upper`` (training nodes pinned to
     ``fixed_labels``), matching the serial auction's feasible set.
+
+    ``valid``: optional (n,) bool — rows outside it (mesh-padding rows in
+    sharded execution) are excluded from the counts and never moved.
     """
     n, k = a.shape
     scale = jnp.max(a) - jnp.min(a) + 1e-8
     neg_big = jnp.asarray(jnp.finfo(a.dtype).min, a.dtype)
+
+    def count_of(labels):
+        oh = jax.nn.one_hot(labels, k, dtype=a.dtype)
+        if valid is not None:
+            oh = jnp.where(valid[:, None], oh, 0.0)
+        return jnp.sum(oh, axis=0)
 
     def body(state):
         p, it, done = state
         scores = a + p[None, :]
         labels = jnp.argmax(scores, axis=1)
         labels = jnp.where(fixed_mask, fixed_labels, labels)
-        counts = jnp.sum(jax.nn.one_hot(labels, k, dtype=a.dtype), axis=0)
+        counts = count_of(labels)
         over = jnp.maximum(counts - upper, 0.0)
         under = jnp.maximum(lower - counts, 0.0)
         grad = (under - over) / n
@@ -63,17 +72,19 @@ def assign_labels(a, fixed_mask, fixed_labels, lower, upper,
     # the most under-full class, choosing the node losing least score.
     def rcond(state):
         labels, it = state
-        counts = jnp.sum(jax.nn.one_hot(labels, k, dtype=a.dtype), axis=0)
+        counts = count_of(labels)
         bad = jnp.logical_or(jnp.any(counts > upper),
                              jnp.any(counts < lower))
         return jnp.logical_and(bad, it < n)
 
     def rbody(state):
         labels, it = state
-        counts = jnp.sum(jax.nn.one_hot(labels, k, dtype=a.dtype), axis=0)
+        counts = count_of(labels)
         co = jnp.argmax(counts - upper)   # most over-full
         cu = jnp.argmax(lower - counts)   # most under-full
         movable = jnp.logical_and(labels == co, ~fixed_mask)
+        if valid is not None:
+            movable = jnp.logical_and(movable, valid)
         margin = jnp.where(movable, a[:, cu] - a[:, co], neg_big)
         i = jnp.argmax(margin)
         labels = labels.at[i].set(cu.astype(labels.dtype))
@@ -83,12 +94,16 @@ def assign_labels(a, fixed_mask, fixed_labels, lower, upper,
     return labels
 
 
-def projection_weights(scores, weights, priors, dt, *, similarity: bool):
+def projection_weights(scores, weights, priors, dt, *, similarity: bool,
+                       valid=None):
     """Traceable class-size gradient loop (reference ``ssl.py:172-209``):
     iterate ``w += dt*(class_size(w) - priors)``, ``w /= w[0]`` until
     ``max|grad| <= 1e-3`` or 1e4 steps.  ``scores`` must be pre-normalized
-    to [0, 1] (the reference normalizes before the loop)."""
+    to [0, 1] (the reference normalizes before the loop).  ``valid``
+    excludes mesh-padding rows from the class sizes (sharded execution)."""
     k = scores.shape[1]
+    n_true = (scores.shape[0] if valid is None
+              else jnp.sum(valid.astype(scores.dtype)))
 
     def cond(state):
         w, err, i = state
@@ -98,8 +113,10 @@ def projection_weights(scores, weights, priors, dt, *, similarity: bool):
         w, err, i = state
         sw = scores * w
         pred = jnp.argmax(sw, axis=1) if similarity else jnp.argmin(sw, axis=1)
-        class_size = jnp.mean(jax.nn.one_hot(pred, k, dtype=scores.dtype),
-                              axis=0)
+        oh = jax.nn.one_hot(pred, k, dtype=scores.dtype)
+        if valid is not None:
+            oh = jnp.where(valid[:, None], oh, 0.0)
+        class_size = jnp.sum(oh, axis=0) / n_true
         grad = class_size - priors
         err = jnp.max(jnp.abs(grad))
         w = w + dt * grad
@@ -111,23 +128,34 @@ def projection_weights(scores, weights, priors, dt, *, similarity: bool):
     return w, err
 
 
-def poisson_mbo_loop(heat_steps, u0, w0, priors, T: int):
+def poisson_mbo_loop(heat_steps, u0, w0, priors, T: int, valid=None):
     """Traceable PoissonMBO outer loop (reference ``ssl.py:774-839``):
     T rounds of Ns-step heat diffusion (``heat_steps``, traceable
     (n, k) -> (n, k)) + volume-constrained label projection + threshold.
     The projection weights thread through the loop (warm start, as the
-    reference's ``self.weights`` attribute does across outer rounds)."""
+    reference's ``self.weights`` attribute does across outer rounds).
+    ``valid`` keeps mesh-padding rows at zero and out of the class sizes
+    and score normalization (sharded execution)."""
     k = u0.shape[1]
 
     def outer(i, state):
         u, w, err = state
         u = heat_steps(u)
-        s = u - jnp.min(u)
+        if valid is not None:
+            u = jnp.where(valid[:, None], u, 0.0)
+            s = u - jnp.min(jnp.where(valid[:, None], u, jnp.inf))
+            s = jnp.where(valid[:, None], s, 0.0)
+        else:
+            s = u - jnp.min(u)
         m = jnp.max(s)
         s = jnp.where(m > 0, s / m, s)
-        w, err = projection_weights(s, w, priors, -0.1, similarity=True)
+        w, err = projection_weights(s, w, priors, -0.1, similarity=True,
+                                    valid=valid)
         labels = jnp.argmax(s * w, axis=1)
-        return jax.nn.one_hot(labels, k, dtype=u0.dtype), w, err
+        oh = jax.nn.one_hot(labels, k, dtype=u0.dtype)
+        if valid is not None:
+            oh = jnp.where(valid[:, None], oh, 0.0)
+        return oh, w, err
 
     return jax.lax.fori_loop(
         0, T, outer, (u0, w0, jnp.asarray(1.0, u0.dtype)))
@@ -135,7 +163,7 @@ def poisson_mbo_loop(heat_steps, u0, w0, priors, T: int):
 
 def mbo_loop(dual_conv, labels0, fixed_mask, fixed_labels, lower, upper,
              temp, key, n_true: int, max_iters: int,
-             max_price_it: int = 500):
+             max_price_it: int = 500, valid=None):
     """Traceable full VolumeMBO fixed-point loop (reference ``run_mbo`` /
     ``run_mbo_with_temperature``, mbo_convolution.cpp:1029-1161): per
     iteration one dual graph convolution of the current one-hot labels, an
@@ -157,8 +185,13 @@ def mbo_loop(dual_conv, labels0, fixed_mask, fixed_labels, lower, upper,
         a = a + jnp.where(temp > 0,
                           (temp / (it + 1.0)) * noise / n_true, 0.0)
         new_labels = assign_labels(a, fixed_mask, fixed_labels, lower,
-                                   upper, max_price_it=max_price_it)
+                                   upper, max_price_it=max_price_it,
+                                   valid=valid)
         new_labels = new_labels.astype(labels.dtype)
+        if valid is not None:
+            # mesh-padding rows never change (their zero affinities would
+            # track the drifting prices and defeat the stopping rule)
+            new_labels = jnp.where(valid, new_labels, labels)
         changed = jnp.sum(new_labels != labels)
         stop = jnp.logical_and(changed == 0,
                                jnp.logical_or(temp == 0, it > 10))

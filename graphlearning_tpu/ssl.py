@@ -98,6 +98,27 @@ class ssl:
         self._accel_cache = None
         self._nodiag_cache = None
 
+    def distribute(self, mesh="auto"):
+        """Enable sharded (multi-device) execution for this model's fits.
+
+        ``mesh``: a ``jax.sharding.Mesh``, a :class:`config.GLTConfig`,
+        ``"auto"`` (1-D mesh over all local devices), or ``None`` to
+        disable.  Fits then run SPMD over the mesh's node axis via
+        ``parallel.execute`` — same results as single-device execution up
+        to float reduction order (SURVEY.md §7.1 item 4).  Returns self
+        for chaining: ``gl.ssl.poisson(W).distribute(mesh).fit_predict(...)``.
+        """
+        if mesh is None:
+            self._dist = None
+        else:
+            from graphlearning_tpu.parallel import execute as _exec
+
+            self._dist = _exec.Distributor(mesh)
+        pm = getattr(self, "poisson_model", None)
+        if pm is not None:             # poisson_mbo's initializer model
+            pm._dist = self._dist
+        return self
+
     def _nodiag_graph(self):
         """Zero-diagonal copy of the model's graph (reference
         ``ssl.py:614-617``), cached so repeated fits skip the scipy
@@ -234,6 +255,7 @@ class ssl:
         vmap-batched fit (``fit_predict_batched``), with a sequential
         fallback for models without a batched path."""
         labels = np.asarray(labels)
+        has_priors = self.class_priors is not None
         if save_results:
             os.makedirs(results_dir, exist_ok=True)
             outfile = os.path.join(results_dir, tag + self.get_accuracy_filename())
@@ -241,13 +263,37 @@ class ssl:
                 print(f"Results file {outfile} exists; aborting (overwrite=False)")
                 return None
             with open(outfile, "w") as fh:
-                fh.write("Number of labels,Accuracy\n")
+                # reference header (ssl.py:339-342): priors models record the
+                # dual accuracy (without/with priors) + the priors error
+                if has_priors:
+                    fh.write("Number of labels,Accuracy,"
+                             "Accuracy with class priors,Class priors error\n")
+                else:
+                    fh.write("Number of labels,Accuracy\n")
         else:
             outfile = None
 
         if num_trials > 0:
             trainsets = trainsets[:num_trials]
         trainsets = [np.asarray(t) for t in trainsets]
+
+        if has_priors:
+            # priors path (reference ssl.py:366-389): per-trial fit, then
+            # both predictions (the volume projection is a cheap device
+            # loop; the fit itself dominates)
+            results = []
+            for train_ind in trainsets:
+                pred = self.fit_predict(train_ind, labels[train_ind])
+                acc_with = ssl_accuracy(pred, labels, train_ind)
+                pred_np = self.predict(ignore_class_priors=True)
+                acc_without = ssl_accuracy(pred_np, labels, train_ind)
+                row = (len(train_ind), acc_without, acc_with,
+                       self.class_priors_error)
+                results.append(row)
+                if outfile is not None:
+                    with open(outfile, "a") as fh:
+                        fh.write("%d,%.2f,%.2f,%.5f\n" % row)
+            return np.array(results)
 
         # group same-size trials so vmap-batched models solve each group in
         # one device program (joblib replacement, see fit_predict_batched)
@@ -271,17 +317,25 @@ class ssl:
         return np.array(results)
 
     def trials_statistics(self, tag=""):
-        """Aggregate saved trial CSVs (reference ``ssl.py:398-436``)."""
+        """Aggregate saved trial CSVs (reference ``ssl.py:398-436``).
+
+        Returns ``(num_train, acc_mean, acc_stddev, num_trials)`` with
+        ``acc_mean``/``acc_stddev`` of shape ``(m, c)`` — ``c = 1`` for plain
+        runs, ``c = 3`` (acc without priors, acc with priors, priors error)
+        for class-priors runs — matching the reference's column blocks so
+        ``accuracy_table``/``accuracy_plot`` can consume either CSV format
+        (including the reference's own ``ResultsFromPaper`` files)."""
         outfile = os.path.join(results_dir, tag + self.get_accuracy_filename())
         X = utils.csvread(outfile)
+        X = np.atleast_2d(X)
         num_train = np.unique(X[:, 0])
-        acc_mean, acc_std, counts = [], [], []
+        acc_mean, acc_std = [], []
         for m in num_train:
-            accs = X[X[:, 0] == m, 1]
-            acc_mean.append(np.mean(accs))
-            acc_std.append(np.std(accs))
-            counts.append(len(accs))
-        return num_train, np.array(acc_mean), np.array(acc_std), np.array(counts)
+            Y = X[X[:, 0] == m, 1:]
+            acc_mean.append(np.mean(Y, axis=0))
+            acc_std.append(np.std(Y, axis=0))
+        num_trials = int(len(X) / max(1, len(num_train)))
+        return num_train, np.array(acc_mean), np.array(acc_std), num_trials
 
 
 # -- accuracy (reference ssl.py:1795-1834) --------------------------------
@@ -391,6 +445,17 @@ class laplace(ssl):
         tau = np.broadcast_to(np.atleast_1d(self.tau), (n,)).astype(float)
         tau_j = jnp.asarray(tau, dtype=config.float_dtype())
         order = self.order
+
+        dist = getattr(self, "_dist", None)
+        if dist is not None:
+            from graphlearning_tpu.parallel import execute as _exec
+
+            u = _exec.laplace_fit_sharded(
+                dist, G.weight_matrix, mask, bdy_values, tau, self.tol,
+                self.normalization, order)
+            if self.mean_shift:
+                u = u - np.mean(u, axis=0)
+            return u
 
         acc = None
         if self.normalization in ("combinatorial", "randomwalk",
@@ -544,6 +609,17 @@ class poisson(ssl):
         source = np.zeros((n, k))
         source[train_ind] = onehot - np.mean(onehot, axis=0)
         b = jnp.asarray(source, dtype=config.float_dtype())
+
+        dist = getattr(self, "_dist", None)
+        if dist is not None and self.solver in ("conjugate_gradient",
+                                                "gradient_descent"):
+            from graphlearning_tpu.parallel import execute as _exec
+
+            if self.solver == "conjugate_gradient":
+                return _exec.poisson_cg_fit_sharded(dist, W, source,
+                                                    self.tol)
+            return _exec.poisson_gd_fit_sharded(dist, W, source, train_ind,
+                                                self.min_iter, self.max_iter)
 
         deg = _ops.degree_vector(g)
 
@@ -722,6 +798,17 @@ class poisson_mbo(ssl):
             self.weights = np.ones((k,))
         w0 = jnp.asarray(self.weights, dtype=dtype)
         priors = jnp.asarray(self.class_priors, dtype=dtype)
+
+        dist = getattr(self, "_dist", None)
+        if dist is not None and all_labels is None:
+            from graphlearning_tpu.parallel import execute as _exec
+
+            uj, w, err = _exec.poisson_mbo_fit_sharded(
+                dist, W, self.mu * dt * source, u, self.weights,
+                self.class_priors, dt, Ns, self.T)
+            self.weights = w
+            self.class_priors_error = err
+            return uj
 
         # bf16-band fast path: heat stepping feeds a threshold projection,
         # so ~0.3% SpMM error is immaterial — stream the band at half bytes
@@ -908,6 +995,17 @@ class volume_mbo(ssl):
 
         key = jax.random.PRNGKey(self.seed)
         temp = self.temperature
+        dist = getattr(self, "_dist", None)
+        if dist is not None and all_labels is None:
+            from graphlearning_tpu.parallel import execute as _exec
+
+            out = _exec.volume_mbo_fit_sharded(
+                dist, W, labels, fixed_mask, fixed_labels,
+                np.asarray(lower), np.asarray(upper), temp, key, k,
+                self.max_iters)
+            labels = np.array(out)
+            labels[train_ind] = train_labels
+            return utils.labels_to_onehot(labels, k)
         if all_labels is None:
             # fused fixed point: the whole MBO loop is ONE device program
             # (per-iteration eager dispatch through the TPU tunnel costs
@@ -1353,12 +1451,21 @@ class amle(ssl):
                                weighted=self.weighted)
 
     def _fit_onevsrest(self, train_ind, train_labels, unique_labels):
-        from graphlearning_tpu.solvers.plaplace import amle_mc
+        from graphlearning_tpu.solvers.plaplace import amle_mc, _voronoi_init
 
-        acc = _accel.maybe_build(self.graph.weight_matrix, cache_obj=self,
-                                 attr="_accel_dist", exact=False, fast=True)
         bdy_vals = (train_labels[:, None] == unique_labels[None, :]).astype(
             float)
+        dist = getattr(self, "_dist", None)
+        if dist is not None:
+            from graphlearning_tpu.parallel import execute as _exec
+
+            u0 = _voronoi_init(self.graph.sparse, train_ind, bdy_vals)
+            return _exec.lip_fit_sharded(
+                dist, self.graph.weight_matrix, train_ind, bdy_vals,
+                alpha=0.0, beta=1.0, weighted=self.weighted, tol=self.tol,
+                max_num_it=self.max_num_it, u0=u0)
+        acc = _accel.maybe_build(self.graph.weight_matrix, cache_obj=self,
+                                 attr="_accel_dist", exact=False, fast=True)
         return amle_mc(self.graph.sparse, train_ind, bdy_vals, tol=self.tol,
                        accel=acc, bucketed=self.graph.bucketed(),
                        max_num_it=self.max_num_it, weighted=self.weighted)
@@ -1430,12 +1537,24 @@ class plaplace(ssl):
                                    tol=self.tol)
 
     def _fit_onevsrest(self, train_ind, train_labels, unique_labels):
-        from graphlearning_tpu.solvers.plaplace import plaplace_mc
+        from graphlearning_tpu.solvers.plaplace import (plaplace_mc,
+                                                        _voronoi_init)
 
-        acc = _accel.maybe_build(self.graph.weight_matrix, cache_obj=self,
-                                 attr="_accel_dist", exact=False, fast=True)
         bdy_vals = (train_labels[:, None] == unique_labels[None, :]).astype(
             float)
+        dist = getattr(self, "_dist", None)
+        if dist is not None and self.fast:
+            from graphlearning_tpu.parallel import execute as _exec
+
+            alpha = 1.0 / (self.p - 1.0)
+            tol = self.tol if self.tol < 1e-1 else 1e-5
+            u0 = _voronoi_init(self.graph.sparse, train_ind, bdy_vals)
+            return _exec.lip_fit_sharded(
+                dist, self.graph.weight_matrix, train_ind, bdy_vals,
+                alpha=alpha, beta=1.0 - alpha, weighted=False, tol=tol,
+                max_num_it=self.max_num_it, u0=u0)
+        acc = _accel.maybe_build(self.graph.weight_matrix, cache_obj=self,
+                                 attr="_accel_dist", exact=False, fast=True)
         return plaplace_mc(self.graph.sparse, train_ind, bdy_vals, self.p,
                            max_num_it=self.max_num_it, tol=self.tol,
                            fast=self.fast, accel=acc,
@@ -1458,17 +1577,26 @@ def accuracy_plot(model_list, tag="", testerror=False, savefile=None,
     matplotlib.rcParams.update({"font.size": fontsize})
     styles = ["^b-", "or-", "dg-", "sk-", "pm-", "xc-", "*y-"]
     plt.figure()
-    for i, model in enumerate(model_list):
+    si = -1
+    for model in model_list:
         num_train, acc_mean, acc_std, _ = model.trials_statistics(tag=tag)
-        y = 100 - acc_mean if testerror else acc_mean
-        style = styles[i % len(styles)]
-        if errorbars:
-            plt.errorbar(num_train, y, fmt=style, yerr=acc_std,
-                         label=model.name)
-        elif loglog:
-            plt.loglog(num_train, y, style, label=model.name)
-        else:
-            plt.plot(num_train, y, style, label=model.name)
+        if testerror:
+            acc_mean = 100.0 - acc_mean
+        # column 0 = plain accuracy; column 1 (priors runs) plotted as an
+        # extra '+CP' series (reference ssl.py:1879-1889)
+        series = [(acc_mean[:, 0], acc_std[:, 0], model.name)]
+        if acc_mean.shape[1] > 1:
+            series.append((acc_mean[:, 1], acc_std[:, 1],
+                           model.name + "+CP"))
+        for y, yerr, name in series:
+            si = (si + 1) % len(styles)
+            style = styles[si]
+            if errorbars:
+                plt.errorbar(num_train, y, fmt=style, yerr=yerr, label=name)
+            elif loglog:
+                plt.loglog(num_train, y, style, label=name)
+            else:
+                plt.plot(num_train, y, style, label=name)
     plt.xlabel("Number of labels", fontsize=label_fontsize)
     if testerror:
         plt.ylabel("Test error (%)", fontsize=label_fontsize)
@@ -1493,18 +1621,32 @@ def accuracy_table(model_list, tag="", testerror=False, savefile="table.tex",
                    small_caps=True):
     """Emit a LaTeX table of mean (std) accuracy per label count, bolding
     the best model in each column (reference ``ssl.py:1925-2053``);
+    class-priors runs add a '+CP' row per model, and the bolding considers
+    both the plain and the priors accuracy (reference class_priors_best);
     ``testerror`` reports 100-accuracy and bolds the lowest instead."""
     stats = [m.trials_statistics(tag=tag) for m in model_list]
     num_train = stats[0][0]
     ncols = len(num_train)
-    means = np.stack([s[1] for s in stats])          # (models, ncols)
-    stds = np.stack([s[2] for s in stats])
-    num_trials = int(stats[0][3][0])
-    if testerror:
-        means = 100.0 - means
-        best = np.argmin(means, axis=0)
-    else:
-        best = np.argmax(means, axis=0)
+    num_trials = int(stats[0][3])
+
+    # best (model, priors?) per label count across ALL rows including the
+    # '+CP' rows (reference ssl.py:1960-1975); highest accuracy = lowest
+    # test error, so the same selection serves both display modes
+    best = [None] * ncols
+    class_priors_best = [False] * ncols
+    best_score = [-np.inf] * ncols
+    for i, (_, acc_mean, _, _) in enumerate(stats):
+        for j in range(ncols):
+            if acc_mean[j, 0] > best_score[j]:
+                best_score[j] = acc_mean[j, 0]
+                best[j] = i
+                class_priors_best[j] = False
+        if acc_mean.shape[1] > 1:
+            for j in range(ncols):
+                if acc_mean[j, 1] > best_score[j]:
+                    best_score[j] = acc_mean[j, 1]
+                    best[j] = i
+                    class_priors_best[j] = True
 
     env = "table*" if two_column else "table"
     lines = []
@@ -1532,12 +1674,22 @@ def accuracy_table(model_list, tag="", testerror=False, savefile="table.tex",
     lines.append("\\# Labels" + "".join(
         "&\\textbf{%d}" % int(m) for m in num_train) + "\\\\")
     lines.append("\\midrule")
-    for i, model in enumerate(model_list):
-        row = model.name.ljust(15)
+
+    def emit_row(name, vals, errs, is_best):
+        row = name.ljust(15)
         for j in range(ncols):
-            cell = "%.1f (%.1f)" % (means[i, j], stds[i, j])
-            row += "&{\\bf %s}" % cell if best[j] == i else "&%s      " % cell
+            v = 100.0 - vals[j] if testerror else vals[j]
+            cell = "%.1f (%.1f)" % (v, errs[j])
+            row += "&{\\bf %s}" % cell if is_best(j) else "&%s      " % cell
         lines.append(row + "\\\\")
+
+    for i, model in enumerate(model_list):
+        _, acc_mean, acc_std, _ = stats[i]
+        emit_row(model.name, acc_mean[:, 0], acc_std[:, 0],
+                 lambda j, i=i: best[j] == i and not class_priors_best[j])
+        if acc_mean.shape[1] > 1:
+            emit_row(model.name + "+CP", acc_mean[:, 1], acc_std[:, 1],
+                     lambda j, i=i: best[j] == i and class_priors_best[j])
     lines += ["\\bottomrule", "\\end{tabular}"]
     if small_caps:
         lines.append("\\end{sc}")

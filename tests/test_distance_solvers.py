@@ -357,3 +357,20 @@ def test_peikonal_mc_matches_per_class():
         for c in range(3):
             u_c = peikonal(g, sets[c], bdy_val=0, p=p, tol=1e-6)
             np.testing.assert_allclose(u_mc[:, c], u_c, rtol=1e-4, atol=1e-5)
+
+
+def test_volume_assignment_adversarial_repair():
+    """Exact repair handles a badly infeasible start (price ascent
+    disabled) by moving top-margin batches, not one node per round."""
+    from graphlearning_tpu.solvers.volume import assign_labels
+    import jax.numpy as jnp
+
+    rs = np.random.RandomState(0)
+    n, k = 3000, 5
+    a = rs.rand(n, k) * 0.01
+    a[:, 0] += 10.0                    # everything wants class 0
+    target = np.full(k, n // k, dtype=float)
+    lab = np.asarray(assign_labels(
+        jnp.asarray(a), jnp.zeros(n, bool), jnp.zeros(n, jnp.int32),
+        jnp.asarray(target), jnp.asarray(target), max_price_it=0))
+    assert (np.bincount(lab, minlength=k) == target).all()

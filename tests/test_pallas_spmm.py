@@ -178,3 +178,87 @@ def test_band_equals_onthefly_kernel():
                                  interpret=True, mode="f32")
     np.testing.assert_allclose(np.asarray(out_band), np.asarray(out_fly),
                                rtol=1e-5, atol=1e-5)
+
+
+# -- compact tiled band (occupancy-aware) -----------------------------------
+
+
+def _tiles_setup(W, R=512, WT=512, seed=1, min_edges=None):
+    from graphlearning_tpu.ops.pallas_spmm import (
+        plan_tiles, materialize_band_tiles, build_residual_ell)
+
+    g = pad_graph_to(SparseGraph.from_scipy(W, dtype=jnp.float32),
+                     max(R, WT))
+    cols_np = np.asarray(g.cols)
+    vals_np = np.asarray(g.vals).astype(np.float32)
+    deg_np = np.asarray(g.deg)
+    tb, ts, bf, rrows, rslots, kcap = plan_tiles(
+        cols_np, R=R, WT=WT, deg=deg_np, min_edges_per_tile=min_edges)
+    band = materialize_band_tiles(
+        g.cols[:, :kcap], g.vals[:, :kcap], jnp.asarray(tb),
+        jnp.asarray(ts), R=R, WT=WT, interpret=True)
+    resid = build_residual_ell(rrows, rslots, cols_np, vals_np, g.n)
+    tiles = (jnp.asarray(tb), jnp.asarray(ts), jnp.asarray(bf))
+    return g, band, tiles, resid, (tb, ts, bf, rrows, rslots, kcap)
+
+
+@pytest.mark.parametrize("bandwidth,min_edges", [(100, None), (2000, 40)])
+def test_tiled_band_matches_scipy(bandwidth, min_edges):
+    from graphlearning_tpu.ops.pallas_spmm import spmm_tiles_hybrid
+
+    n, k, d = 1024, 8, 128
+    W = _banded_graph(n, k, bandwidth)
+    g, band, tiles, resid, plan = _tiles_setup(W, min_edges=min_edges)
+    rs = np.random.RandomState(1)
+    X = rs.randn(g.n, d).astype(np.float32)
+    out = spmm_tiles_hybrid(band, tiles, g, jnp.asarray(X), R=512, WT=512,
+                            interpret=True, resid=resid)
+    ref = W @ X[:n].astype(np.float64)
+    np.testing.assert_allclose(np.asarray(out)[:n], ref, rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_tiled_band_occupancy_smaller_than_window():
+    """The point of the tiled band: fewer stored bytes than the rectangular
+    window on a banded graph."""
+    from graphlearning_tpu.ops.pallas_spmm import plan_tiles
+
+    n, k = 8192, 8
+    W = _banded_graph(n, k, 600, seed=2)
+    g = pad_graph_to(SparseGraph.from_scipy(W, dtype=jnp.float32), 512)
+    cols_np = np.asarray(g.cols)
+    deg_np = np.asarray(g.deg)
+    winstart, _, _, Wwin, _ = plan_banded(cols_np, R=512, deg=deg_np)
+    tb, ts, bf, rr, rsl, kcap = plan_tiles(cols_np, R=512, WT=512,
+                                           deg=deg_np)
+    rect_cells = g.n * Wwin
+    tile_cells = len(tb) * 512 * 512
+    assert tile_cells < rect_cells, (tile_cells, rect_cells)
+    # residual stays small on a banded graph
+    assert len(rr) / (g.n * g.k) < 0.05
+
+
+def test_tiled_minplus_matches_gather():
+    from graphlearning_tpu.ops.pallas_spmm import (band_tiles_minplus,
+                                                   residual_minplus,
+                                                   _MINPLUS_BIG)
+
+    n, k = 1024, 8
+    W = _banded_graph(n, k, 150, seed=4)
+    g, band, tiles, resid, plan = _tiles_setup(W)
+    rs = np.random.RandomState(0)
+    d0 = np.full(g.n, 1e30, np.float32)
+    d0[:n] = rs.rand(n).astype(np.float32) * 10
+    f = np.ones(g.n, np.float32)
+    out = band_tiles_minplus(band, *tiles, jnp.asarray(d0), jnp.asarray(f),
+                             g.n, R=512, WT=512, interpret=True)
+    bmin = np.asarray(out[:, 0])
+    if resid is not None:
+        rmin, _ = residual_minplus(jnp.asarray(d0), jnp.asarray(f), resid)
+        bmin = np.minimum(bmin, np.asarray(rmin))
+    # reference: one min-plus relaxation over all edges
+    Wc = W.tocoo()
+    ref = np.full(n, 1e30)
+    np.minimum.at(ref, Wc.row, d0[Wc.col] + Wc.data * f[Wc.col])
+    ok = ref < 1e29
+    np.testing.assert_allclose(bmin[:n][ok], ref[ok], rtol=1e-5)

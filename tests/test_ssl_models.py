@@ -217,3 +217,13 @@ def test_ssl_trials_mixed_sizes(moons, tmp_path):
         assert np.all(res[:, 1] > 60)
     finally:
         sslm.results_dir = old
+
+
+def test_warmup_api(moons):
+    """warmup() precompiles via a throwaway fit and leaves the model
+    unfitted; the next real fit is unaffected."""
+    W, X, labels, train_ind = moons
+    m = gl.ssl.poisson(W).warmup(num_classes=2)
+    assert m.fitted is False and m.prob is None
+    pred = m.fit_predict(train_ind, labels[train_ind])
+    assert gl.ssl.ssl_accuracy(pred, labels, train_ind) > 90.0

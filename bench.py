@@ -300,12 +300,23 @@ def sharded_bench():
     for p in counts:
         mesh = Mesh(np.asarray(devices[:p]).reshape(p, 1),
                     axis_names=("nodes", "batch"))
-        gs = parallel.shard_graph(g, mesh)
-        Xs = parallel.put_features(X_np, mesh)
-        if kernel == "ring":
-            fn = lambda X: parallel.sharded_spmm_ring(gs, X, mesh)
+        if kernel == "banded":
+            # partitioned tiled-band Pallas kernel + halo exchange
+            # (parallel/band_shard.py); interpret mode on the CPU mesh
+            from graphlearning_tpu.parallel.band_shard import ShardedBandPlan
+
+            R = WT = 128 if virtual else 512
+            plan = ShardedBandPlan(g, mesh, axis="nodes", R=R, WT=WT,
+                                   mode="bf16x3", interpret=virtual)
+            Xs = plan.put_rows(X_np)
+            fn = plan.spmm
         else:
-            fn = lambda X: parallel.sharded_spmm(gs, X, mesh)
+            gs = parallel.shard_graph(g, mesh)
+            Xs = parallel.put_features(X_np, mesh)
+            if kernel == "ring":
+                fn = lambda X: parallel.sharded_spmm_ring(gs, X, mesh)
+            else:
+                fn = lambda X: parallel.sharded_spmm(gs, X, mesh)
         out = fn(Xs)
         float(jnp.sum(out[0]))             # compile + force completion
         t0 = time.perf_counter()

@@ -33,6 +33,19 @@ class clustering:
         self.num_clusters = num_clusters
         self.fitted = False
 
+    def distribute(self, mesh="auto"):
+        """Enable sharded (multi-device) execution for this model's fit —
+        same contract as :meth:`ssl.ssl.distribute`.  Currently consumed by
+        :class:`spectral` (sharded LOBPCG eigensolver); other clusterers
+        accept the call for API uniformity and run single-device."""
+        if mesh is None:
+            self._dist = None
+        else:
+            from graphlearning_tpu.parallel import execute as _exec
+
+            self._dist = _exec.Distributor(mesh)
+        return self
+
     def predict(self):
         if not self.fitted:
             sys.exit("Model has not been fitted yet.")
@@ -66,20 +79,34 @@ class spectral(clustering):
         from graphlearning_tpu.solvers.kmeans import kmeans
 
         k = self.num_clusters + self.extra_dim
+        dist = getattr(self, "_dist", None)
+        norm_of = {"combinatorial": "combinatorial",
+                   "ShiMalik": "randomwalk",
+                   "NgJordanWeiss": "normalized"}
+        if self.method not in norm_of:
+            sys.exit("Invalid spectral clustering method " + self.method)
+        if dist is not None:
+            # sharded LOBPCG over the mesh's node axis; k-means then runs
+            # on the gathered (n, k) embedding (cheap relative to the solve)
+            from graphlearning_tpu.parallel import execute as _exec
+
+            vals, vec = _exec.eigen_decomp_sharded(
+                dist, self.graph.weight_matrix,
+                normalization=norm_of[self.method], k=k)
+            vec = jnp.asarray(vec)
         # keep the (n, k) embedding on device: row normalization + the
         # multi-restart k-means run there, only int32 labels come back
-        if self.method == "combinatorial":
+        elif self.method == "combinatorial":
             vals, vec = self.graph.eigen_decomp_device(k=k)
         elif self.method == "ShiMalik":
             vals, vec = self.graph.eigen_decomp_device(
                 normalization="randomwalk", k=k)
-        elif self.method == "NgJordanWeiss":
+        else:
             vals, vec = self.graph.eigen_decomp_device(
                 normalization="normalized", k=k)
+        if self.method == "NgJordanWeiss":
             norms = jnp.sqrt(jnp.sum(vec * vec, axis=1))
             vec = vec / jnp.maximum(norms[:, None], 1e-30)
-        else:
-            sys.exit("Invalid spectral clustering method " + self.method)
         return kmeans(vec, self.num_clusters, n_init=10)
 
 

@@ -550,7 +550,7 @@ def spmm_band_hybrid(band, g, X, plan, R: int = 512, WT: int = 1024,
 def plan_tiles(cols_np, R: int = 512, WT: int = 512, deg=None,
                kcap: int | None = None, kcap_max: int | None = None,
                min_edges_per_tile: int | None = None,
-               hbm_budget_bytes: float = 8e9):
+               hbm_budget_bytes: float = 8e9, ncols: int | None = None):
     """Per-(row-block, window-tile) occupancy plan.
 
     Returns ``(tile_block, tile_start, block_first, rrows, rslots, kcap)``:
@@ -561,9 +561,11 @@ def plan_tiles(cols_np, R: int = 512, WT: int = 512, deg=None,
     least its most-populated tile so the output rows are always written.
     """
     n, k = cols_np.shape
-    assert n % R == 0 and n % WT == 0, (n, R, WT)
+    if ncols is None:
+        ncols = n                        # square case: X length == row count
+    assert n % R == 0 and ncols % WT == 0, (n, ncols, R, WT)
     nblocks = n // R
-    ntiles_cols = n // WT
+    ntiles_cols = ncols // WT
 
     if deg is not None:
         deg = np.asarray(deg)
@@ -724,10 +726,15 @@ def _tiles_matmul_kernel(tb_ref, ts_ref, bf_ref, band_ref, x_ref, out_ref,
 def band_tiles_spmm(band, tile_block, tile_start, block_first, X, n: int,
                     R: int = 512, WT: int = 512, interpret: bool = False,
                     mode: str = "f32"):
-    """``out = tiled-band @ X`` streaming only the occupied tiles."""
+    """``out = tiled-band @ X`` streaming only the occupied tiles.
+
+    Rectangular case allowed (``X.shape[0] != n``, e.g. a halo-extended
+    feature buffer in the sharded path): ``tile_start`` indexes ``X``
+    rows, ``tile_block`` indexes output rows."""
     G = tile_block.shape[0]
     d = X.shape[1]
-    assert n % R == 0 and n % WT == 0 and d % 128 == 0, (n, R, WT, d)
+    assert n % R == 0 and X.shape[0] % WT == 0 and d % 128 == 0, (
+        n, R, WT, X.shape, d)
     kernel = functools.partial(_tiles_matmul_kernel, mode=mode)
     return pl.pallas_call(
         kernel,

@@ -366,3 +366,75 @@ def lip_fit_sharded(dist: Distributor, W, bdy_set, bdy_vals, *, alpha=None,
                             jnp.asarray(beta, dtype=dtype),
                             jnp.asarray(tol, dtype=dtype), int(max_num_it))
     return dist.gather(u, n)
+
+
+# =========================================================================
+# Sharded eigensolver (spectral clustering / spectral embeddings).
+# =========================================================================
+
+
+@functools.partial(jax.jit, static_argnames=("k", "power", "normalization",
+                                             "m"))
+def _eig_sharded(g, deg, valid, key, *, k, power, normalization, m=200):
+    """Low-lying Laplacian spectrum on a row-sharded graph via LOBPCG on
+    the shifted PSD operator (same math as ``solvers.eig.eigen_decomp``,
+    reference ``graph.py:623-806``).  The operator is masked to the real
+    rows: mesh-padding rows (degree 0) map to 0, so they contribute
+    eigenvalue 0 to a TOP-k problem — out of the way by construction, and
+    the computed pairs are exactly those of the unpadded operator.  All
+    dense (k x k) algebra inside LOBPCG is replicated; the SpMM is the
+    only sharded contraction (XLA inserts its all_gather)."""
+    from jax.experimental.sparse.linalg import lobpcg_standard
+
+    dtype = g.vals.dtype
+    n = g.n
+
+    if normalization in ("normalized", "randomwalk"):
+        s = safe_inv_sqrt_deg(deg)
+
+        def base(X):  # I + D^-1/2 W D^-1/2, spectrum in [0, 2]
+            Y = X + s[:, None] * _ops.spmm(g, s[:, None] * X)
+            return jnp.where(valid[:, None], Y, 0.0)
+    elif normalization == "combinatorial":
+        M = 2.0 * jnp.max(deg)
+
+        def base(X):  # M I - L = (M - deg) X + W X
+            Y = (M - deg)[:, None] * X + _ops.spmm(g, X)
+            return jnp.where(valid[:, None], Y, 0.0)
+    else:
+        raise ValueError("Invalid normalization " + normalization)
+
+    def op(X):
+        for _ in range(power):
+            X = base(X)
+        return X
+
+    X0 = jax.random.normal(key, (n, k), dtype=dtype)
+    X0 = jnp.where(valid[:, None], X0, 0.0)
+    theta, U, _ = lobpcg_standard(op, X0, m=m)
+    rq = jnp.sum(U * base(U), axis=0) / jnp.sum(U * U, axis=0)
+    if normalization in ("normalized", "randomwalk"):
+        vals = 2.0 - rq
+    else:
+        vals = M - rq
+    order = jnp.argsort(vals)
+    vecs = U[:, order]
+    if normalization == "randomwalk":
+        vecs = safe_inv_sqrt_deg(deg)[:, None] * vecs
+    return vals[order], vecs
+
+
+def eigen_decomp_sharded(dist: Distributor, W, normalization="normalized",
+                         k=10, seed=0):
+    """Sharded ``eigen_decomp`` (exact/LOBPCG method): returns host
+    ``(vals, vecs)`` with vecs truncated to the real rows."""
+    from graphlearning_tpu.solvers.eig import _default_power
+
+    g, n = dist.shard_graph(W)
+    deg = _ops.degree_vector(g)
+    valid = dist.valid_mask(n, g.n)
+    key = jax.random.PRNGKey(seed)
+    vals, vecs = _eig_sharded(g, deg, valid, key, k=int(k),
+                              power=_default_power(dist.config.resolve_dtype()),
+                              normalization=normalization)
+    return np.asarray(vals), dist.gather(vecs, n)

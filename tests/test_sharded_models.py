@@ -137,3 +137,34 @@ def test_sharded_trials_runner(mesh, clusters, tmp_path):
         assert res.shape == (2, 2) and res[:, 1].min() > 80.0
     finally:
         sslm.results_dir = old
+
+
+@pytest.mark.parametrize("method", ["NgJordanWeiss", "combinatorial"])
+def test_spectral_clustering_sharded(mesh, clusters, method):
+    """Sharded LOBPCG eigensolver (parallel/execute.eigen_decomp_sharded):
+    spectral clustering over the mesh matches the unsharded clustering."""
+    W, labels, train_ind = clusters
+    ref = gl.clustering.spectral(W, num_clusters=3, method=method)
+    sh = gl.clustering.spectral(W, num_clusters=3,
+                                method=method).distribute(mesh)
+    pred_ref = ref.fit_predict()
+    pred_sh = sh.fit_predict()
+    acc_ref = gl.clustering.clustering_accuracy(pred_ref, labels)
+    acc_sh = gl.clustering.clustering_accuracy(pred_sh, labels)
+    assert abs(acc_ref - acc_sh) < 2.0, (acc_ref, acc_sh)
+    assert acc_sh > 85.0, acc_sh
+
+
+def test_eigen_decomp_sharded_values(mesh, clusters):
+    """Sharded eigenvalues match the single-device eigensolver."""
+    from graphlearning_tpu.parallel import execute as _exec
+
+    W, _, _ = clusters
+    dist = _exec.Distributor(mesh)
+    vals_sh, vecs_sh = _exec.eigen_decomp_sharded(
+        dist, W, normalization="normalized", k=4)
+    g = gl.graph(W)
+    vals_ref, vecs_ref = g.eigen_decomp(normalization="normalized", k=4)
+    assert np.allclose(np.asarray(vals_sh), np.asarray(vals_ref)[:4],
+                       atol=1e-4), (vals_sh, vals_ref)
+    assert vecs_sh.shape[0] == W.shape[0]

@@ -161,10 +161,13 @@ class ShardedBandPlan:
     # -- execution ---------------------------------------------------------
 
     def put_rows(self, X):
-        """Pad + place a feature matrix row-sharded over the node axis."""
+        """Pad + place a feature matrix row-sharded over the node axis.
+        Rows pad to ``n_pad``; the feature dim pads to a lane multiple
+        (128) so chained ``spmm`` calls skip the per-call repad."""
         X = np.asarray(X, np.float32)
-        if X.shape[0] < self.n_pad:
-            X = np.pad(X, ((0, self.n_pad - X.shape[0]), (0, 0)))
+        d_pad = (-X.shape[1]) % 128
+        if X.shape[0] < self.n_pad or d_pad:
+            X = np.pad(X, ((0, self.n_pad - X.shape[0]), (0, d_pad)))
         return jax.device_put(
             jnp.asarray(X), NamedSharding(self.mesh, P(self.axis, None)))
 
@@ -206,9 +209,14 @@ class ShardedBandPlan:
 
     def spmm(self, X):
         """``W @ X`` over the mesh.  ``X``: (n_pad, d) sharded (or host
-        array, which is padded + placed).  Returns the sharded product."""
+        array, which is padded + placed).  ``d`` pads to a lane multiple
+        on the fly if needed; the (n_pad, d_padded) result chains directly
+        into the next call."""
         if not hasattr(X, "sharding"):
             X = self.put_rows(X)
+        d_pad = (-X.shape[1]) % 128
+        if d_pad:
+            X = jnp.pad(X, ((0, 0), (0, d_pad)))
         d = X.shape[1]
         if self._fn is None or self._fn[0] != d:
             self._fn = (d, self._build_fn(d))

@@ -302,11 +302,19 @@ def sharded_bench():
                     axis_names=("nodes", "batch"))
         if kernel == "banded":
             # partitioned tiled-band Pallas kernel + halo exchange
-            # (parallel/band_shard.py); interpret mode on the CPU mesh
+            # (parallel/band_shard.py) on the RCM-reordered graph — the
+            # ordering the banded fast path is designed for (the
+            # Distributor applies the same RCM transparently); XLA tile
+            # formulation on the CPU mesh
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
             from graphlearning_tpu.parallel.band_shard import ShardedBandPlan
 
+            Wc = W.tocsr()
+            perm = np.asarray(
+                reverse_cuthill_mckee(Wc, symmetric_mode=True))
+            Wb = Wc[perm, :][:, perm].tocsr()
             R = WT = 128 if virtual else 512
-            plan = ShardedBandPlan(g, mesh, axis="nodes", R=R, WT=WT,
+            plan = ShardedBandPlan(Wb, mesh, axis="nodes", R=R, WT=WT,
                                    mode="bf16x3", interpret=virtual)
             Xs = plan.put_rows(X_np)
             fn = plan.spmm
@@ -345,6 +353,13 @@ def sharded_bench():
         "vs_baseline": round(eff / 0.80, 3),    # target >= 80% (BASELINE.json)
         "config": {
             "n": n, "k": k, "d": d, "iters": iters, "nnz": int(nnz),
+            # the banded kernel pads the feature dim to the 128-lane
+            # multiple inside the kernel, so absolute edges/s is not
+            # comparable across kernels unless d is already a multiple
+            # of 128 (the retained-throughput metric is self-relative
+            # and unaffected)
+            "d_effective": (-(-d // 128) * 128 if kernel == "banded"
+                            else d),
             "kernel": kernel, "virtual_mesh": virtual,
             "backend": jax.default_backend(),
             "edges_per_sec": {str(p): round(v, 1) for p, v in table.items()},

@@ -33,14 +33,25 @@ class clustering:
         self.num_clusters = num_clusters
         self.fitted = False
 
-    def distribute(self, mesh="auto"):
+    _sharded_supported = False     # overridden by spectral
+
+    def distribute(self, mesh="auto", strict=False):
         """Enable sharded (multi-device) execution for this model's fit —
         same contract as :meth:`ssl.ssl.distribute`.  Currently consumed by
         :class:`spectral` (sharded LOBPCG eigensolver); other clusterers
-        accept the call for API uniformity and run single-device."""
+        warn loudly (``strict=True`` raises) and run single-device."""
         if mesh is None:
             self._dist = None
         else:
+            if not type(self)._sharded_supported:
+                msg = (f"{type(self).__name__} has no sharded execution "
+                       "path; fits will run single-device despite "
+                       "distribute()")
+                if strict:
+                    raise NotImplementedError(msg)
+                import warnings
+
+                warnings.warn(msg, stacklevel=2)
             from graphlearning_tpu.parallel import execute as _exec
 
             self._dist = _exec.Distributor(mesh)
@@ -69,6 +80,8 @@ class spectral(clustering):
     """Spectral clustering: 'combinatorial', 'ShiMalik' (randomwalk), or
     'NgJordanWeiss' (normalized + row normalization) embeddings + KMeans
     (reference ``clustering.py:113-198``)."""
+
+    _sharded_supported = True
 
     def __init__(self, W, num_clusters, method="NgJordanWeiss", extra_dim=0):
         super().__init__(W, num_clusters)

@@ -71,6 +71,17 @@ class GLTConfig:
     node_axis: str = "nodes"                       # axis graphs shard over
     devices: Any = None                            # default: jax.devices()
 
+    # -- sharded SpMM kernel -------------------------------------------------
+    # "auto": partitioned tiled-band Pallas kernel with ppermute halo
+    # exchange (parallel/band_shard.py) when the graph's partition covers
+    # almost all edges and the backend can run it profitably; GSPMD
+    # all-gather ELL otherwise.  "banded" / "gspmd" force a kernel.
+    sharded_kernel: str = "auto"
+    band_R: Optional[int] = None                   # None -> 512 (TPU) / 64
+    band_WT: Optional[int] = None
+    band_mode: Optional[str] = None                # None -> bf16x3 / f64
+    band_max_residual: float = 0.02                # auto-fallback threshold
+
     # -- numerics -----------------------------------------------------------
     dtype: Any = None                              # None -> float_dtype()
     cg_tol: Optional[float] = None                 # None -> model tolerance

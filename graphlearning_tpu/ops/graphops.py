@@ -33,10 +33,19 @@ def spmm(g: SparseGraph, X):
     Padding entries have ``vals == 0`` and ``cols == row`` (a valid gather
     target), so no mask is needed.  Replaces scipy ``W @ X``
     (e.g. reference ``utils.py:523`` CG hot loop, ``ssl.py:649-663``).
+
+    Operator override: a graph-like pytree exposing ``spmm_`` (e.g.
+    ``parallel.band_shard.ShardedOp``) routes the product through its own
+    kernel — this is how the SAME jitted solver programs run their hot
+    SpMM on the partitioned tiled-band Pallas path when distributed.
     """
     X2, was_1d = _as_2d(X)
-    gathered = jnp.take(X2, g.cols, axis=0)            # (n, k, d)
-    out = jnp.einsum("nk,nkd->nd", g.vals, gathered)
+    custom = getattr(g, "spmm_", None)
+    if custom is not None:
+        out = custom(X2)
+    else:
+        gathered = jnp.take(X2, g.cols, axis=0)        # (n, k, d)
+        out = jnp.einsum("nk,nkd->nd", g.vals, gathered)
     return out[:, 0] if was_1d else out
 
 

@@ -606,7 +606,10 @@ def plan_tiles(cols_np, R: int = 512, WT: int = 512, deg=None,
     best = counts.argmax(axis=1)
     keep[np.arange(nblocks), best] = True
     # HBM budget: drop lowest-count kept tiles beyond the budget
-    max_tiles = int(hbm_budget_bytes / (R * WT * 4))
+    # (inf = uncapped — the per-shard partition planner routes overflow
+    # at the halo level instead)
+    max_tiles = (np.inf if np.isinf(hbm_budget_bytes)
+                 else int(hbm_budget_bytes / (R * WT * 4)))
     if keep.sum() > max_tiles:
         order = np.argsort(counts[keep])
         drop = keep.sum() - max_tiles
@@ -640,10 +643,12 @@ def _tiles_build_kernel(tb_ref, ts_ref, cols_ref, vals_ref, band_ref,
     local = jnp.clip(local, 0, WT - 1)
     w = jnp.where(in_tile, vals_ref[:], 0.0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (R, WT), 1)
-    A = jnp.zeros((R, WT), dtype=jnp.float32)
+    # accumulate at f64 only when the stored band is f64 (CPU parity mode)
+    acc_dtype = jnp.float64 if out_dtype == jnp.float64 else jnp.float32
+    A = jnp.zeros((R, WT), dtype=acc_dtype)
     for j in range(k):
         A = A + jnp.where(col_ids == local[:, j][:, None],
-                          w[:, j][:, None], 0.0)
+                          w[:, j][:, None].astype(acc_dtype), 0.0)
     band_ref[:] = A.astype(out_dtype)
 
 
@@ -697,7 +702,12 @@ def _tiles_matmul_kernel(tb_ref, ts_ref, bf_ref, band_ref, x_ref, out_ref,
     A = band_ref[:]
     x = x_ref[:]
     dims = (((1,), (0,)), ((), ()))
-    if A.dtype == jnp.bfloat16:
+    if mode == "f64":
+        # CPU parity mode (interpret): exact f64 matmul on an f64 band
+        out_ref[:] += jax.lax.dot_general(
+            A.astype(jnp.float64), x.astype(jnp.float64), dims,
+            preferred_element_type=jnp.float64)
+    elif A.dtype == jnp.bfloat16:
         out_ref[:] += jax.lax.dot_general(
             A, x.astype(jnp.bfloat16), dims,
             preferred_element_type=jnp.float32)
@@ -730,11 +740,18 @@ def band_tiles_spmm(band, tile_block, tile_start, block_first, X, n: int,
 
     Rectangular case allowed (``X.shape[0] != n``, e.g. a halo-extended
     feature buffer in the sharded path): ``tile_start`` indexes ``X``
-    rows, ``tile_block`` indexes output rows."""
+    rows, ``tile_block`` indexes output rows.
+
+    NOTE on tile order: ``tile_block`` must be NON-DECREASING.  Pallas TPU
+    keeps the output window resident only while consecutive grid steps
+    target the same output block; revisiting an earlier block reads
+    flushed/undefined VMEM (plan padding must therefore repeat the LAST
+    block, never jump back to block 0)."""
     G = tile_block.shape[0]
     d = X.shape[1]
     assert n % R == 0 and X.shape[0] % WT == 0 and d % 128 == 0, (
         n, R, WT, X.shape, d)
+    out_dtype = jnp.float64 if mode == "f64" else jnp.float32
     kernel = functools.partial(_tiles_matmul_kernel, mode=mode)
     return pl.pallas_call(
         kernel,
@@ -750,7 +767,7 @@ def band_tiles_spmm(band, tile_block, tile_start, block_first, X, n: int,
             out_specs=pl.BlockSpec((R, d), lambda g, tb, ts, bf: (tb[g], 0),
                                    memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, d), out_dtype),
         interpret=interpret,
     )(tile_block, tile_start, block_first, band, X)
 

@@ -98,7 +98,12 @@ class ssl:
         self._accel_cache = None
         self._nodiag_cache = None
 
-    def distribute(self, mesh="auto"):
+    # Families whose _fit consumes _dist (sharded execution path exists).
+    # dynamic_label_propagation is dense and size-gated at n<=5000
+    # (reference ssl.py:1318-1341) — nothing to shard.
+    _sharded_supported = True
+
+    def distribute(self, mesh="auto", strict=False):
         """Enable sharded (multi-device) execution for this model's fits.
 
         ``mesh``: a ``jax.sharding.Mesh``, a :class:`config.GLTConfig`,
@@ -107,10 +112,22 @@ class ssl:
         ``parallel.execute`` — same results as single-device execution up
         to float reduction order (SURVEY.md §7.1 item 4).  Returns self
         for chaining: ``gl.ssl.poisson(W).distribute(mesh).fit_predict(...)``.
+
+        Models without a sharded path warn loudly (``strict=True``
+        raises) instead of silently running single-device.
         """
         if mesh is None:
             self._dist = None
         else:
+            if not type(self)._sharded_supported:
+                msg = (f"{type(self).__name__} has no sharded execution "
+                       "path; fits will run single-device despite "
+                       "distribute()")
+                if strict:
+                    raise NotImplementedError(msg)
+                import warnings
+
+                warnings.warn(msg, stacklevel=2)
             from graphlearning_tpu.parallel import execute as _exec
 
             self._dist = _exec.Distributor(mesh)
@@ -592,6 +609,13 @@ class randomwalk(ssl):
         alpha = self.alpha
         tau = self.tau
 
+        dist = getattr(self, "_dist", None)
+        if dist is not None:
+            from graphlearning_tpu.parallel import execute as _exec
+
+            return _exec.randomwalk_fit_sharded(dist, G.weight_matrix, F,
+                                                alpha, tau)
+
         s = 1.0 / jnp.sqrt(deg)
         F_j = jnp.asarray(F, dtype=config.float_dtype())
         acc = _accel.maybe_build(G.weight_matrix, cache_obj=self)
@@ -697,9 +721,16 @@ class poisson(ssl):
                     )
                 )
         elif self.solver == "spectral":
-            vals, vecs = G0.eigen_decomp(
-                normalization="randomwalk", k=self.spectral_cutoff + 1
-            )
+            if dist is not None:
+                from graphlearning_tpu.parallel import execute as _exec
+
+                vals, vecs = _exec.eigen_decomp_sharded(
+                    dist, W, normalization="randomwalk",
+                    k=self.spectral_cutoff + 1)
+            else:
+                vals, vecs = G0.eigen_decomp(
+                    normalization="randomwalk", k=self.spectral_cutoff + 1
+                )
             V = vecs[:, 1:]
             lam = vals[1:]
             if self.p != 1:
@@ -1097,8 +1128,16 @@ class multiclass_mbo(ssl):
         k = len(np.unique(train_labels))
         dtype = config.float_dtype()
 
-        eigvals, X = self.graph.eigen_decomp(normalization="normalized",
-                                             k=self.num_eig)
+        dist = getattr(self, "_dist", None)
+        if dist is not None:
+            from graphlearning_tpu.parallel import execute as _exec
+
+            eigvals, X = _exec.eigen_decomp_sharded(
+                dist, self.graph.weight_matrix,
+                normalization="normalized", k=self.num_eig)
+        else:
+            eigvals, X = self.graph.eigen_decomp(normalization="normalized",
+                                                 k=self.num_eig)
         X = jnp.asarray(X, dtype=dtype)
         V = jnp.asarray(1.0 / (1.0 + (dt / Ns) * eigvals), dtype=dtype)
 
@@ -1156,8 +1195,15 @@ class modularity_mbo(ssl):
         u0[train_ind] = train_onehot
 
         num_eig = 5 * k
-        D, V = self.graph.eigen_decomp(normalization="combinatorial",
-                                       k=num_eig, gamma=gamma)
+        dist = getattr(self, "_dist", None)
+        if dist is not None:
+            from graphlearning_tpu.parallel import execute as _exec
+
+            D, V = _exec.eigen_decomp_mod_sharded(
+                dist, self.graph.weight_matrix, k=num_eig, gamma=gamma)
+        else:
+            D, V = self.graph.eigen_decomp(normalization="combinatorial",
+                                           k=num_eig, gamma=gamma)
 
         deg = self.graph.degree_vector()
         dtlow = 0.15 / ((gamma + 1) * np.max(deg))
@@ -1203,6 +1249,7 @@ def _dynamic_lp_step(P, u, Pt, ti, Kj, alpha, lam):
 
 
 class dynamic_label_propagation(ssl):
+    _sharded_supported = False
     """Dynamic label propagation (Wang-Tu-Tsotsos; reference
     ``ssl.py:1263-1343``): dense T-step propagation with kernel update
     ``Pt ← P Pt Pᵀ + α v vᵀ + λ I`` — dense device matmuls (MXU)."""
@@ -1277,6 +1324,14 @@ class centered_kernel(ssl):
         mask[train_ind] = True
         maskj = jnp.asarray(mask)
         tol = max(self.tol, 100 * float(jnp.finfo(dtype).eps))
+
+        dist = getattr(self, "_dist", None)
+        if dist is not None:
+            from graphlearning_tpu.parallel import execute as _exec
+
+            return _exec.centered_kernel_fit_sharded(
+                dist, W, K, mask, self.alpha, tol, self.power_it,
+                self.seed)
 
         # banded fast path: the fixed point is hundreds of SpMM rounds
         acc = _accel.maybe_build(W, cache_obj=self, attr="_accel_ck",
@@ -1377,6 +1432,12 @@ class sparse_label_propagation(ssl):
         return cached
 
     def _fit(self, train_ind, train_labels, all_labels=None):
+        dist = getattr(self, "_dist", None)
+        if dist is not None:
+            from graphlearning_tpu.parallel import execute as _exec
+
+            return _exec.sparse_lp_fit_sharded(dist, self, train_ind,
+                                               train_labels)
         n = self.graph.num_nodes
         kc = len(np.unique(train_labels))
         dtype = config.float_dtype()
@@ -1451,6 +1512,21 @@ class graph_nearest_neighbor(ssl):
         from graphlearning_tpu.solvers import eikonal as _eik
 
         g = self.graph.sparse
+        dist = getattr(self, "_dist", None)
+        if dist is not None:
+            from graphlearning_tpu.parallel import execute as _exec
+
+            W = self.graph.weight_matrix
+            if self.onevsrest:
+                return _exec.dijkstra_fit_sharded(
+                    dist, W, train_ind[train_labels], 0, self.f)
+            _, cp = _exec.dijkstra_fit_sharded(
+                dist, W, train_ind, np.zeros(len(train_ind)), self.f,
+                return_cp=True)
+            lab_of = np.zeros(self.graph.num_nodes, dtype=int)
+            lab_of[train_ind] = train_labels
+            k = len(np.unique(train_labels))
+            return utils.labels_to_onehot(lab_of[cp], k)
         if self.onevsrest:
             return _eik.dijkstra(g, train_ind[train_labels], bdy_val=0, f=self.f)
         _, cp = _eik.dijkstra(g, train_ind,
@@ -1549,6 +1625,22 @@ class peikonal(ssl):
     def _fit_onevsrest(self, train_ind, train_labels, unique_labels):
         from graphlearning_tpu.solvers.eikonal import peikonal_mc
         from graphlearning_tpu.native import hostpath as _hp
+
+        dist = getattr(self, "_dist", None)
+        if dist is not None:
+            from graphlearning_tpu.parallel import execute as _exec
+
+            n = self.graph.num_nodes
+            C = len(unique_labels)
+            bdy_mask = np.zeros((n, C), dtype=bool)
+            for c, l in enumerate(unique_labels):
+                bdy_mask[train_ind[train_labels == l], c] = True
+            f = self.f
+            if np.isscalar(f) or np.ndim(f) == 0:
+                f = np.full((n,), float(f))
+            return _exec.peikonal_fit_sharded(
+                dist, self.graph.weight_matrix, bdy_mask, f, self.p,
+                self.tol, self.max_num_it, self.num_bisection_it)
 
         if _hp.use_host(self.graph.num_nodes):
             from graphlearning_tpu import native as _nat

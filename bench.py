@@ -211,6 +211,24 @@ def main():
     dt = time.perf_counter() - t0
     edges_per_s = nnz * iters / dt
 
+    # traffic roofline (tiles kernel): per grid step one (R, WT) band tile
+    # + one (WT, d) X tile; one (R, d) output block per row block.  The
+    # achieved-GB/s fraction against the v5e ~819 GB/s HBM peak says how
+    # close the kernel is to its memory-bound speed of light.
+    roofline = {}
+    if pallas_ok and kernel_name == "pallas_tiles_stream":
+        b_band = 2 if mode == "bf16" else 4
+        G = len(tb)
+        traffic = (G * (R * WT * b_band + WT * d * 4)
+                   + (gp.n // R) * R * d * 4)
+        dt1 = dt / iters
+        roofline = {
+            "bytes_per_edge": round(traffic / nnz, 1),
+            "traffic_GB_per_spmm": round(traffic / 1e9, 3),
+            "achieved_GBps": round(traffic / dt1 / 1e9, 1),
+            "hbm_frac_of_819GBps": round(traffic / dt1 / 819e9, 3),
+        }
+
     # reference-path baseline: scipy CSR SpMM (float64, host CPU)
     Xc = X_np.astype(np.float64)
     base_iters = max(1, iters // 10)
@@ -237,6 +255,7 @@ def main():
             "kcap": int(kcap) if pallas_ok else 0,
             "band_build_s": round(band_build_s, 4) if pallas_ok else 0.0,
             "baseline": "scipy CSR SpMM f64 host",
+            **roofline,
         },
         "baseline_edges_per_sec": round(base_edges_per_s, 1),
     }

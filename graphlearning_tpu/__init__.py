@@ -20,12 +20,16 @@ from graphlearning_tpu import ops, solvers, utils, weightmatrix
 from graphlearning_tpu import ssl, clustering, active_learning
 from graphlearning_tpu import datasets, trainsets
 from graphlearning_tpu import observability, checkpoint
+from graphlearning_tpu.config import GLTConfig
+from graphlearning_tpu.ssl import warmup
 
 __version__ = "0.1.0"
 
 __all__ = [
     "SparseGraph",
     "graph",
+    "GLTConfig",
+    "warmup",
     "ops",
     "solvers",
     "utils",

@@ -145,6 +145,30 @@ def peikonal_fmm_host(W, bdy_set, bdy_val=0, f=1, p=1.0,
     return u
 
 
+def lip_iterate_host_mc(W, bdy_set, bdy_vals, alpha=0.0, beta=1.0,
+                        weighted=False, max_num_it=10**5, tol=1e-6,
+                        num_bisection_it=30):
+    """One-vs-rest host Gauss-Seidel lip iteration with the C classes
+    solved in PARALLEL threads (ctypes releases the GIL during the C
+    call).  The reference runs its one-vs-rest loop serially
+    (reference ssl.py:1710-1727 + graph.py:1232-1279); class-parallel
+    sweeps are the host-native speedup the serial C design left on the
+    table.  ``bdy_vals``: (m, C); returns (n, C)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    bdy_vals = np.asarray(bdy_vals, dtype=float)
+    C = bdy_vals.shape[1]
+    _load()                       # build once before the threads race
+    with ThreadPoolExecutor(max_workers=min(C, os.cpu_count() or 1)) as ex:
+        cols = list(ex.map(
+            lambda c: lip_iterate_host(
+                W, bdy_set, bdy_vals[:, c], alpha=alpha, beta=beta,
+                weighted=weighted, max_num_it=max_num_it, tol=tol,
+                num_bisection_it=num_bisection_it),
+            range(C)))
+    return np.stack(cols, axis=1)
+
+
 def lip_iterate_host(W, bdy_set, bdy_val, alpha=0.0, beta=1.0,
                      weighted=False, max_num_it=10**5, tol=1e-6,
                      num_bisection_it=30):

@@ -45,6 +45,50 @@ def use_host(n: int) -> bool:
         return False
 
 
+def use_host_lip(n: int, nnz: int, accel=None) -> bool:
+    """Host-vs-device choice for the lip (p-Laplace/AMLE) fixed point.
+
+    The device band kernels stream dense (R, WT) tiles; on graphs whose
+    RCM/cluster band is almost empty (high-dimensional kNN — no 1-D
+    locality) >98% of the streamed bytes are zeros and the class-parallel
+    host Gauss-Seidel (``native.lip_iterate_host_mc``) wins: it touches
+    only real edges and converges in reference-like sweep counts
+    (measured at the CIFAR-surrogate config 5a: device tiled-Jacobi 1.97s
+    vs reference C 0.94s vs class-parallel host ~0.2s).  Band-friendly
+    graphs (2-D/low-dim kNN, occupancy >= ~2%) stay on device."""
+    if os.environ.get("GLT_NO_HOSTPATH"):
+        return False
+    if not _config.is_tpu():
+        return False
+    if n <= small_n_threshold():
+        return True
+    if nnz > 5e7:                 # host sweeps no longer feasible
+        return False
+    if accel is None or not getattr(accel, "materialize", False):
+        return True               # device would pay the raw-gather path
+    # cost model (both sides measured at the 5a config, 2026-08-21):
+    # host GS touches only real edges, ~35 sweeps x ~3 ns/edge;
+    # device Jacobi streams the dense band ~700 rounds at ~819 GB/s
+    host_s = nnz * 35 * 3e-9
+    bpc = 2 if getattr(accel, "_band_dtype", None) == jnp_bf16() else 4
+    device_s = 700 * accel.n_pad * accel.Wwin * bpc / 819e9
+    if host_s >= device_s:
+        return False
+    try:
+        from graphlearning_tpu import native
+
+        native._load()
+        return True
+    except Exception:  # oracle lib unavailable — stay on device
+        return False
+
+
+def jnp_bf16():
+    import jax.numpy as jnp
+
+    return jnp.bfloat16
+
+
 def _laplacian(W, normalization: str):
     import scipy.sparse as sp
 

@@ -245,6 +245,11 @@ class AccelSpMM:
         # window (measured 1.2-1.4x more edges/s at the bench config).
         self._tiles = None
         tiles_plan = None
+        # rectangular-window plan survives the tiles override below: the
+        # block-Gauss-Seidel lip solver (lip_gs_mc) scans uniform
+        # (R, Wwin) band slices, which the per-block-variable tile lists
+        # can't provide
+        self._rect_plan = (winstart, rrows, rslots, Wwin, kcap)
         if band_intent:
             from graphlearning_tpu.ops.pallas_spmm import plan_tiles
 
@@ -536,6 +541,52 @@ class AccelSpMM:
             jnp.asarray(alpha, jnp.float32), jnp.asarray(beta, jnp.float32),
             jnp.asarray(tol, jnp.float32), C=C,
             **self._statics(max_iter=int(max_iter)))
+
+    def _rect_band(self):
+        """Lazy rectangular (n_pad, Wwin) band + its residual — the
+        uniform-block layout the block-Gauss-Seidel scan needs (the tiled
+        band's per-block tile counts vary)."""
+        cached = getattr(self, "_rect_cache", None)
+        if cached is not None:
+            return cached
+        from graphlearning_tpu.ops.pallas_spmm import (
+            build_residual_ell, materialize_band)
+
+        winstart, rrows, rslots, Wr, kcap = self._rect_plan
+        cols = self.g.cols[:, :kcap]
+        vals = self.g.vals[:, :kcap]
+        band = materialize_band(cols, vals, jnp.asarray(winstart), Wr,
+                                R=self.R, WT=self.WT,
+                                interpret=self.interpret,
+                                out_dtype=self._band_dtype)
+        resid = build_residual_ell(
+            rrows, rslots, np.asarray(self.g.cols),
+            np.asarray(self.g.vals).astype(np.float32), self.n_pad)
+        self._rect_cache = (band, jnp.asarray(winstart), resid, int(Wr))
+        return self._rect_cache
+
+    def lip_gs_mc(self, u0, bdy_mask, gvals, alpha, beta, tol,
+                  max_iter: int):
+        """One-vs-rest p-Laplace / unweighted AMLE via block-GAUSS-SEIDEL
+        sweeps over the RCM row blocks (reference lp_iterate.cpp:129-187
+        runs a fully sequential GS sweep; this scans the ~n/R band blocks
+        in order, each block updating in parallel from already-updated
+        earlier blocks).  Information propagates the whole band per sweep
+        — measured ~20x fewer rounds than the Jacobi tiled-band kernel at
+        the CIFAR-surrogate config (the round-2 5a loss was round-count,
+        not stream rate).  ORIGINAL-order (n, C) arrays in and out."""
+        band, winstart, resid, Wr = self._rect_band()
+        C = int(u0.shape[1])
+        wsum_p = jnp.sum(self.g.vals, axis=1)
+        u0_p = self.to_perm(jnp.asarray(u0, jnp.float32))
+        mask_p = self.to_perm(jnp.asarray(bdy_mask, jnp.int32), fill=1) > 0
+        gvals_p = self.to_perm(jnp.asarray(gvals, jnp.float32))
+        u_p = _lip_gs_accel(
+            band, winstart, resid, wsum_p, u0_p, mask_p, gvals_p,
+            jnp.asarray(alpha, jnp.float32), jnp.asarray(beta, jnp.float32),
+            jnp.asarray(tol, jnp.float32), R=self.R, Wr=Wr, C=C,
+            nb=self.n_pad // self.R, max_iter=int(max_iter))
+        return self.from_perm(u_p)
 
     def laplacian_matvec(self, normalization: str, deg_p):
         """``L @ X`` in permuted space (mirrors ops.laplacian_matvec for the
@@ -935,6 +986,83 @@ def _lip_iterate_accel(gp, band, resid, winstart, rrows, rslots, perm_dev,
     u_p, _, _, _ = jax.lax.while_loop(
         cond, body, (u_p, u_p, jnp.asarray(jnp.inf, jnp.float32), 0))
     return jnp.take(u_p, inv_dev, axis=0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("R", "Wr", "C", "nb", "max_iter"))
+def _lip_gs_accel(band, winstart, resid, wsum_p, u0_p, mask_p, gvals_p,
+                  alpha, beta, tol, *, R, Wr, C, nb, max_iter):
+    """Block-Gauss-Seidel lip iteration over the rectangular RCM band
+    (see AccelSpMM.lip_gs_mc): a ``fori_loop`` scans the ``nb`` row
+    blocks in order; each block's update reads the current ``u`` window
+    (already-updated earlier blocks + old later blocks — forward GS) via
+    ``dynamic_slice`` and writes back in place.  Out-of-window residual
+    edges contribute Jacobi-style (computed once per sweep from the
+    sweep-start iterate) — the fixed point is unchanged.  Convergence
+    mirrors the reference's sequential sweep (lp_iterate.cpp:149-186):
+    information crosses the whole band each sweep instead of one ring of
+    neighbors per Jacobi round."""
+    from graphlearning_tpu.ops.pallas_spmm import residual_lip
+
+    big = jnp.float32(3e38)
+    inv_wsum = jnp.where(wsum_p > 0,
+                         1.0 / jnp.where(wsum_p == 0, 1.0, wsum_p), 0.0)
+    u0_p = jnp.where(mask_p[:, None], gvals_p, u0_p)
+    bdtype = band.dtype
+
+    def sweep(u):
+        if resid is not None:
+            rsum, rmin, rmax = residual_lip(u, resid, u.shape[0])
+
+        def blk(i, carry):
+            u, err = carry
+            r0 = (i * R).astype(jnp.int32)
+            ws = winstart[i].astype(jnp.int32)
+            z = jnp.asarray(0, jnp.int32)
+            uw = jax.lax.dynamic_slice(u, (ws, z), (Wr, C))
+            A = jax.lax.dynamic_slice(band, (r0, z), (R, Wr))
+            s = jax.lax.dot_general(
+                A, uw.astype(bdtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            has = A > 0
+            mns, mxs = [], []
+            for c in range(C):          # static unroll, C <= 32
+                uc = uw[:, c][None, :]
+                mns.append(jnp.min(jnp.where(has, uc, big), axis=1))
+                mxs.append(jnp.max(jnp.where(has, uc, -big), axis=1))
+            mn = jnp.stack(mns, axis=1)
+            mx = jnp.stack(mxs, axis=1)
+            if resid is not None:
+                s = s + jax.lax.dynamic_slice(rsum, (r0, z), (R, C))
+                mn = jnp.minimum(
+                    mn, jax.lax.dynamic_slice(rmin, (r0, z), (R, C)))
+                mx = jnp.maximum(
+                    mx, jax.lax.dynamic_slice(rmax, (r0, z), (R, C)))
+            iw = jax.lax.dynamic_slice(inv_wsum, (r0,), (R,))
+            ub = jax.lax.dynamic_slice(u, (r0, z), (R, C))
+            mb = jax.lax.dynamic_slice(mask_p, (r0,), (R,))
+            ne = alpha * s * iw[:, None] + beta * 0.5 * (mn + mx)
+            ne = jnp.where(mb[:, None], ub, ne)
+            err = jnp.maximum(err, jnp.max(jnp.abs(ne - ub)))
+            return jax.lax.dynamic_update_slice(u, ne, (r0, z)), err
+
+        return jax.lax.fori_loop(0, nb, blk, (u, jnp.float32(0.0)))
+
+    def body(state):
+        u, err, it = state
+        u, err = sweep(u)
+        return u, err, it + 1
+
+    def cond(state):
+        u, err, it = state
+        # reference stopping: err < tol only honored after 20 sweeps
+        # (lp_iterate.cpp:185)
+        return jnp.logical_and(
+            jnp.logical_or(err > tol, it <= 20), it < max_iter)
+
+    u, _, _ = jax.lax.while_loop(
+        cond, body, (u0_p, jnp.asarray(jnp.inf, jnp.float32), 0))
+    return u
 
 
 @functools.partial(jax.jit, static_argnames=("power", "m") + _STATICS)

@@ -581,8 +581,10 @@ def peikonal_fit_sharded(dist: Distributor, W, bdy_mask, f, p, tol,
 
 
 def dijkstra_fit_sharded(dist: Distributor, W, bdy_set, bdy_val, f,
-                         return_cp=False, max_iter=10**6):
-    """Sharded Bellman-Ford graph distance (reference graph.py:1077-1175):
+                         return_cp=False, max_iter=10**6,
+                         hopf_lax=False, reciprocal_weights=False):
+    """Sharded Bellman-Ford graph distance (reference graph.py:1077-1175;
+    ``hopf_lax=True`` gives the Hopf-Lax HJ variant, graph.py:916-997):
     padding rows start at +big with no valid neighbors, so they never
     relax and never influence real rows."""
     from graphlearning_tpu.solvers.eikonal import (_bellman_ford,
@@ -601,7 +603,11 @@ def dijkstra_fit_sharded(dist: Distributor, W, bdy_set, bdy_val, f,
     d0 = dist.put_rows(d0, fill=big, dtype=dtype)
     cp0 = dist.put_rows(cp0, fill=-1)
     fj = dist.put_rows(np.asarray(f, float), fill=0.0, dtype=dtype)
-    d, cp = _bellman_ford(g, d0, cp0, fj, False, int(max_iter))
+    if reciprocal_weights:
+        vals = jnp.where(g.mask(),
+                         1.0 / jnp.where(g.vals == 0, 1.0, g.vals), 0.0)
+        g = g.with_vals(vals)
+    d, cp = _bellman_ford(g, d0, cp0, fj, bool(hopf_lax), int(max_iter))
     d = dist.gather(d, n).astype(float)
     d[d >= big * 0.5] = np.inf
     if return_cp:

@@ -460,14 +460,13 @@ def plaplace_mc(g: SparseGraph, bdy_set, bdy_vals, p, max_num_it=10**6,
     # reference's 1e-5, ssl.py plaplace.__init__; the default 1e-1 belongs
     # to the lp_iterate sandwich — map it to 1e-5 here); clamp to f32 floor
     tol_fast = max(tol if tol < 1e-1 else 1e-5, eps_floor)
-    if (accel is not None and accel.materialize
-            and getattr(accel, "_tiles", None) is not None and C <= 32):
-        # tiled-band fast path: sum/min/max reductions ride one band
-        # stream per Jacobi round (AccelSpMM.lip_iterate_mc), from a
-        # harmonic warm start
+    if accel is not None and accel.materialize and C <= 32:
+        # banded fast path from a harmonic warm start: block-Gauss-Seidel
+        # sweeps (AccelSpMM.lip_gs_mc — reference-like per-sweep
+        # propagation, ~20x fewer rounds than the Jacobi tiled kernel)
         u0 = _laplace_init(accel, g, bdy_mask, gvals)
-        u = accel.lip_iterate_mc(u0, bdy_mask, gvals, alpha, beta,
-                                 max(tol_fast, 1e-5), int(max_num_it))
+        u = accel.lip_gs_mc(u0, bdy_mask, gvals, alpha, beta,
+                            max(tol_fast, 1e-5), int(max_num_it))
         return np.asarray(u).astype(float)
     u0 = _voronoi_init(g, bdy_set, bdy_vals, accel=accel)
     args = (jnp.asarray(u0, dtype=dtype), jnp.asarray(bdy_mask),
@@ -496,10 +495,12 @@ def amle_mc(g: SparseGraph, bdy_set, bdy_vals, tol=1e-5, max_num_it=10**5,
     gvals[bdy_set] = bdy_vals
     tol = max(tol, 100 * float(jnp.finfo(dtype).eps))
     if (not weighted and accel is not None and accel.materialize
-            and getattr(accel, "_tiles", None) is not None and C <= 32):
+            and C <= 32):
+        # block-Gauss-Seidel sweeps (AccelSpMM.lip_gs_mc) from a harmonic
+        # warm start — same fixed point, reference-like round counts
         u0 = _laplace_init(accel, g, bdy_mask, gvals)
-        u = accel.lip_iterate_mc(u0, bdy_mask, gvals, 0.0, 1.0,
-                                 max(tol, 1e-5), int(max_num_it))
+        u = accel.lip_gs_mc(u0, bdy_mask, gvals, 0.0, 1.0,
+                            max(tol, 1e-5), int(max_num_it))
         return np.asarray(u).astype(float)
     u0 = _voronoi_init(g, bdy_set, bdy_vals, accel=accel)
     skewed = bucketed is not None and g.k > 1.5 * bucketed.kcap

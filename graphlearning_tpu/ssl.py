@@ -387,6 +387,35 @@ def _volume_projection_loop(scores, weights, priors, dt, *, similarity):
                                       similarity=similarity)
 
 
+def warmup(model, num_classes=2, num_train=None, seed=0):
+    """AOT warm-up: pre-compile a model's solver programs (and populate its
+    per-graph caches — RCM/band plans, zero-diagonal copy, shardings) by
+    running one fit with synthetic labels on the model's OWN graph, then
+    resetting the fitted state.
+
+    XLA traces/compiles per shape, so a warm-up at the real (n, k,
+    num_classes) makes the first real ``fit_predict`` hit the jit cache —
+    the cold-compile cost (minutes through a remote-TPU tunnel) moves to
+    this call, which can run before labels exist.  Pair with the
+    persistent compilation cache (``config.py``) for cross-process reuse.
+    The reference has no equivalent (scipy needs no compilation).
+
+    ``num_classes`` must match the later fit's class count (the one-hot
+    width is a compiled shape).  Returns the model for chaining:
+    ``gl.warmup(gl.ssl.poisson(W), 10).fit_predict(ti, tl)``.
+    """
+    rs = np.random.RandomState(seed)
+    n = model.graph.num_nodes
+    m = num_train if num_train is not None else min(
+        max(10, 2 * num_classes), n)
+    ti = np.sort(rs.choice(n, m, replace=False))
+    tl = np.arange(m) % num_classes
+    model.fit_predict(ti, tl)
+    model.prob = None
+    model.fitted = False
+    return model
+
+
 def ssl_accuracy(pred_labels, true_labels, train_ind=None):
     """Accuracy excluding training points and negatively-labeled nodes."""
     pred_labels = np.asarray(pred_labels)
@@ -1573,17 +1602,16 @@ class amle(ssl):
                 max_num_it=self.max_num_it, u0=u0)
         from graphlearning_tpu.native import hostpath as _hp
 
-        if _hp.use_host(self.graph.num_nodes):
-            from graphlearning_tpu import native as _nat
-
-            return np.stack([
-                _nat.lip_iterate_host(
-                    self.graph.weight_matrix, train_ind, bdy_vals[:, c],
-                    alpha=0.0, beta=1.0, weighted=self.weighted,
-                    max_num_it=self.max_num_it, tol=self.tol)
-                for c in range(bdy_vals.shape[1])], axis=1)
         acc = _accel.maybe_build(self.graph.weight_matrix, cache_obj=self,
                                  attr="_accel_dist", exact=False, fast=True)
+        W = self.graph.weight_matrix
+        if _hp.use_host_lip(self.graph.num_nodes, int(W.nnz), accel=acc):
+            from graphlearning_tpu import native as _nat
+
+            return _nat.lip_iterate_host_mc(
+                W, train_ind, bdy_vals, alpha=0.0, beta=1.0,
+                weighted=self.weighted, max_num_it=self.max_num_it,
+                tol=self.tol)
         return amle_mc(self.graph.sparse, train_ind, bdy_vals, tol=self.tol,
                        accel=acc, bucketed=self.graph.bucketed(),
                        max_num_it=self.max_num_it, weighted=self.weighted)
@@ -1700,18 +1728,23 @@ class plaplace(ssl):
                 max_num_it=self.max_num_it, u0=u0)
         from graphlearning_tpu.native import hostpath as _hp
 
-        if self.fast and _hp.use_host(self.graph.num_nodes):
+        acc = None
+        if self.fast:
+            acc = _accel.maybe_build(self.graph.weight_matrix,
+                                     cache_obj=self, attr="_accel_dist",
+                                     exact=False, fast=True)
+        W = self.graph.weight_matrix
+        if self.fast and _hp.use_host_lip(self.graph.num_nodes,
+                                          int(W.nnz), accel=acc):
+            # class-parallel host Gauss-Seidel: on band-hostile graphs
+            # (high-dim kNN) the device kernels stream ~99% zeros while
+            # the host sweep touches only real edges (BASELINE config 5a)
             from graphlearning_tpu import native as _nat
 
             alpha = 1.0 / (self.p - 1.0)
-            return np.stack([
-                _nat.lip_iterate_host(
-                    self.graph.weight_matrix, train_ind, bdy_vals[:, c],
-                    alpha=alpha, beta=1.0 - alpha,
-                    max_num_it=self.max_num_it, tol=1e-6)
-                for c in range(bdy_vals.shape[1])], axis=1)
-        acc = _accel.maybe_build(self.graph.weight_matrix, cache_obj=self,
-                                 attr="_accel_dist", exact=False, fast=True)
+            return _nat.lip_iterate_host_mc(
+                W, train_ind, bdy_vals, alpha=alpha, beta=1.0 - alpha,
+                max_num_it=self.max_num_it, tol=1e-6)
         return plaplace_mc(self.graph.sparse, train_ind, bdy_vals, self.p,
                            max_num_it=self.max_num_it, tol=self.tol,
                            fast=self.fast, accel=acc,

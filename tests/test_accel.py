@@ -367,3 +367,40 @@ def test_lip_iterate_tiled_band_matches_plain():
         jnp.asarray(gvals, jnp.float32), jnp.float32(alpha),
         jnp.float32(1.0 - alpha), jnp.float32(1e-6), 5000))
     np.testing.assert_allclose(u_acc, u_ref, rtol=2e-3, atol=2e-4)
+
+
+def test_lip_gs_block_gauss_seidel_matches_plain():
+    """AccelSpMM.lip_gs_mc (block-Gauss-Seidel sweeps over the rectangular
+    RCM band) converges to the same fixed point as the plain gather-path
+    Jacobi _lip_iterate_mc (GS and Jacobi share fixed points)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from conftest import random_knn_csr
+    from graphlearning_tpu.core.sparse import SparseGraph
+    from graphlearning_tpu.ops.accel import AccelSpMM
+    from graphlearning_tpu.solvers.plaplace import _lip_iterate_mc
+
+    W = random_knn_csr(2560, 10, seed=7)
+    n = W.shape[0]
+    acc = AccelSpMM(W, interpret=True)
+    assert acc.materialize
+
+    rs = np.random.RandomState(1)
+    bdy = np.sort(rs.choice(n, 20, replace=False))
+    C = 3
+    bdy_vals = rs.rand(20, C)
+    bdy_mask = np.zeros(n, bool)
+    bdy_mask[bdy] = True
+    gvals = np.zeros((n, C))
+    gvals[bdy] = bdy_vals
+
+    p = 8.0
+    alpha = 1.0 / (p - 1.0)
+    u_gs = np.asarray(acc.lip_gs_mc(
+        np.zeros((n, C)), bdy_mask, gvals, alpha, 1.0 - alpha, 1e-6, 5000))
+    g = SparseGraph.from_scipy(W, dtype=jnp.float32)
+    u_ref = np.asarray(_lip_iterate_mc(
+        g, jnp.zeros((n, C), jnp.float32), jnp.asarray(bdy_mask),
+        jnp.asarray(gvals, jnp.float32), jnp.float32(alpha),
+        jnp.float32(1.0 - alpha), jnp.float32(1e-6), 5000))
+    np.testing.assert_allclose(u_gs, u_ref, rtol=2e-3, atol=2e-4)

@@ -302,3 +302,44 @@ def test_sharded_gd_directed_semantics(mesh):
     pred_sh = m_sh.fit_predict(train_ind, labels[train_ind])
     assert np.mean(pred_sh == pred_ref) >= 0.99
     np.testing.assert_allclose(m_sh.prob, m_ref.prob, rtol=1e-6, atol=1e-9)
+
+
+def test_warmup_api(clusters):
+    """gl.warmup pre-compiles at the real shapes and resets model state."""
+    W, labels, train_ind = clusters
+    m = gl.warmup(gl.ssl.poisson(W), num_classes=3)
+    assert not m.fitted and m.prob is None
+    pred = m.fit_predict(train_ind, labels[train_ind])
+    assert gl.ssl.ssl_accuracy(pred, labels, train_ind) > 80.0
+
+
+def test_sharded_distance_solvers(mesh, clusters):
+    """Sharded Bellman-Ford dijkstra / Hopf-Lax match the single-device
+    solvers (reference graph.py:808-1332 family)."""
+    from graphlearning_tpu.parallel import execute as _exec
+    from graphlearning_tpu.solvers import eikonal as _eik
+
+    W, _, train_ind = clusters
+    dist = _exec.Distributor(mesh)
+    g = gl.SparseGraph.from_scipy(W)
+    d_sh = _exec.dijkstra_fit_sharded(dist, W, train_ind[:5], 0.0, 1.0)
+    d_ref = _eik.dijkstra(g, train_ind[:5], bdy_val=0.0, f=1.0)
+    np.testing.assert_allclose(d_sh, d_ref, atol=1e-8)
+    h_sh = _exec.dijkstra_fit_sharded(dist, W, train_ind[:5], 0.0, 1.0,
+                                      hopf_lax=True)
+    h_ref = _eik.dijkstra_hl(g, train_ind[:5], bdy_val=0.0, f=1.0)
+    np.testing.assert_allclose(h_sh, h_ref, atol=1e-8)
+
+
+def test_active_learning_with_distributed_model(mesh, clusters):
+    """Active learning drives a distributed model: every refit (init +
+    per-query update) runs sharded (reference active_learning.py:56-117)."""
+    W, labels, train_ind = clusters
+    model = gl.ssl.laplace(W).distribute(mesh)
+    al = gl.active_learning.active_learner(
+        model, gl.active_learning.unc_sampling(), train_ind,
+        labels[train_ind])
+    for _ in range(2):
+        q = al.select_queries(batch_size=1)
+        al.update(q, labels[q])
+    assert len(al.labeled_ind) == len(train_ind) + 2

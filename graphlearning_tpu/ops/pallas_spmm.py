@@ -964,6 +964,137 @@ def spmm_tiles_hybrid(band, tiles, g, X, R: int = 512, WT: int = 512,
     return out[:, :d] if d_pad else out
 
 
+# -- packed compact tiles ---------------------------------------------------
+#
+# At small tile sizes the compact tiled band hits a GRID-STEP floor, not a
+# bandwidth floor: the round-3 sweep measured bytes/edge falling 589->408
+# from (512,512) to (256,128) while achieved GB/s collapsed 457->243 —
+# ~2.5 us/step of DMA-issue latency dominates at G~13k steps.  Packing S
+# same-block tiles into one (R, S*WT) slab per grid step keeps the small
+# tiles' low zero-padding while dividing the step count by S: the slab is
+# one contiguous band DMA, the S window tiles are S independent X inputs
+# whose index maps read a (G, S) prefetched start table.
+
+
+def pack_tiles(tb, ts, bf, S: int):
+    """Group the (block-sorted) kept tiles into slabs of S consecutive
+    tiles of the SAME block (tail slabs pad by repeating their last tile
+    — zero band, same window, so the extra DMA re-reads a resident tile
+    and accumulates 0).  Returns ``(slab_block, slab_starts (G,S),
+    slab_first, pack_index (G,S) -> original tile or -1)``."""
+    tb = np.asarray(tb)
+    ts = np.asarray(ts)
+    bf = np.asarray(bf)
+    slabs_b, slabs_ts, slabs_bf, slabs_src = [], [], [], []
+    i = 0
+    G0 = len(tb)
+    while i < G0:
+        j = i
+        while j < i + S and j < G0 and tb[j] == tb[i]:
+            j += 1
+        starts = list(ts[i:j])
+        src = list(range(i, j))
+        while len(starts) < S:          # pad: repeat last tile, zero band
+            starts.append(starts[-1])
+            src.append(-1)
+        slabs_b.append(tb[i])
+        slabs_ts.append(starts)
+        slabs_bf.append(int(bf[i:j].max()))
+        slabs_src.append(src)
+        i = j
+    return (np.asarray(slabs_b, np.int32),
+            np.asarray(slabs_ts, np.int32),
+            np.asarray(slabs_bf, np.int32),
+            np.asarray(slabs_src, np.int32))
+
+
+def pack_band(band, pack_index, R: int, WT: int, out_dtype=None):
+    """Re-lay unpacked (G0*R, WT) tiles into packed (G*R, S*WT) slabs
+    (device-side, one-time)."""
+    G, S = pack_index.shape
+    G0 = band.shape[0] // R
+    dtype = out_dtype or band.dtype
+    tiles = band.reshape(G0, R, WT)
+    zero = jnp.zeros((1, R, WT), tiles.dtype)
+    tiles = jnp.concatenate([tiles, zero])            # -1 -> zero tile
+    idx = jnp.asarray(np.where(pack_index < 0, G0, pack_index))
+    slabs = tiles[idx.reshape(-1)].reshape(G, S, R, WT)
+    return jnp.transpose(slabs, (0, 2, 1, 3)).reshape(
+        G * R, S * WT).astype(dtype)
+
+
+def _tiles_packed_kernel(tb_ref, ts_ref, bf_ref, band_ref, *rest, WT: int,
+                         S: int, mode: str):
+    xs = rest[:-1]
+    out_ref = rest[-1]
+    g = pl.program_id(0)
+
+    @pl.when(bf_ref[g] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    A = band_ref[:]                                   # (R, S*WT)
+    x = jnp.concatenate([x_ref[:] for x_ref in xs], axis=0)  # (S*WT, d)
+    dims = (((1,), (0,)), ((), ()))
+    if A.dtype == jnp.bfloat16:
+        out_ref[:] += jax.lax.dot_general(
+            A, x.astype(jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32)
+    elif mode == "f32":
+        out_ref[:] += jax.lax.dot_general(
+            A, x.astype(jnp.float32), dims,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+    else:  # bf16x3 on an f32 band
+        A_hi = A.astype(jnp.bfloat16)
+        A_lo = (A - A_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        xf = x.astype(jnp.float32)
+        x_hi = xf.astype(jnp.bfloat16)
+        x_lo = (xf - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = jax.lax.dot_general(
+            A_hi, x_hi, dims, preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(
+            A_hi, x_lo, dims, preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(
+            A_lo, x_hi, dims, preferred_element_type=jnp.float32)
+        out_ref[:] += acc
+
+
+def band_tiles_spmm_packed(band, slab_block, slab_starts, slab_first, X,
+                           n: int, R: int = 256, WT: int = 128, S: int = 4,
+                           interpret: bool = False, mode: str = "bf16"):
+    """``out = packed-tiled-band @ X``: one grid step streams an
+    (R, S*WT) slab + its S window tiles.  ``X`` may be bf16 (halves the
+    window-stream bytes in bf16 mode); output is f32."""
+    G = slab_block.shape[0]
+    d = X.shape[1]
+    assert n % R == 0 and X.shape[0] % WT == 0 and d % 128 == 0
+    assert slab_starts.shape == (G, S)
+    kernel = functools.partial(_tiles_packed_kernel, WT=WT, S=S, mode=mode)
+    x_specs = [
+        pl.BlockSpec((WT, d),
+                     (lambda k: lambda g, tb, ts, bf: (ts[g, k] // WT, 0))(k),
+                     memory_space=pltpu.VMEM)
+        for k in range(S)
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((R, S * WT), lambda g, tb, ts, bf: (g, 0),
+                             memory_space=pltpu.VMEM),
+            ] + x_specs,
+            out_specs=pl.BlockSpec((R, d),
+                                   lambda g, tb, ts, bf: (tb[g], 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        interpret=interpret,
+    )(slab_block, slab_starts, slab_first, band, *([X] * S))
+
+
 # -- host-side planning ---------------------------------------------------
 
 

@@ -262,3 +262,38 @@ def test_tiled_minplus_matches_gather():
     np.minimum.at(ref, Wc.row, d0[Wc.col] + Wc.data * f[Wc.col])
     ok = ref < 1e29
     np.testing.assert_allclose(bmin[:n][ok], ref[ok], rtol=1e-5)
+
+
+def test_packed_tiles_spmm_matches_scipy():
+    """Packed compact tiles (S same-block tiles per grid step) match the
+    unpacked tiled SpMM and scipy, including pad slabs (zero band,
+    repeated window)."""
+    import jax.numpy as jnp
+    from conftest import random_knn_csr
+    from graphlearning_tpu.core.sparse import SparseGraph
+    from graphlearning_tpu.parallel.shard import pad_graph_to
+    from graphlearning_tpu.ops.pallas_spmm import (
+        band_tiles_spmm_packed, materialize_band_tiles, pack_band,
+        pack_tiles, plan_tiles)
+
+    rs = np.random.RandomState(3)
+    W = random_knn_csr(1024, 8, seed=3)
+    g = pad_graph_to(SparseGraph.from_scipy(W, dtype=jnp.float32), 128)
+    R, WT, S = 64, 128, 4
+    tb, ts, bf, rr, rslot, kcap = plan_tiles(
+        np.asarray(g.cols), R=R, WT=WT, deg=np.asarray(g.deg), kcap=g.k,
+        min_edges_per_tile=1, hbm_budget_bytes=float("inf"))
+    assert len(rr) == 0
+    band = materialize_band_tiles(
+        g.cols, g.vals, jnp.asarray(tb), jnp.asarray(ts), R=R, WT=WT,
+        interpret=True, out_dtype=jnp.float32)
+    sb, sts, sbf, src = pack_tiles(tb, ts, bf, S)
+    packed = pack_band(band, src, R=R, WT=WT)
+    X = rs.randn(g.n, 128).astype(np.float32)
+    out = np.asarray(band_tiles_spmm_packed(
+        packed, jnp.asarray(sb), jnp.asarray(sts), jnp.asarray(sbf),
+        jnp.asarray(X), n=g.n, R=R, WT=WT, S=S, interpret=True,
+        mode="f32"))
+    ref = W @ X[: W.shape[0]]
+    np.testing.assert_allclose(out[: W.shape[0]], ref, rtol=1e-4,
+                               atol=1e-4 * np.abs(ref).max())

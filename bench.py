@@ -91,14 +91,22 @@ def main():
                 max_res = float(best.get("max_residual", 0.002))
             if use_tiles and use_band:
                 # compact occupancy-aware tiled band (only the (R, WT)
-                # tiles that hold edges are stored/streamed)
+                # tiles that hold edges are stored/streamed); packed-slab
+                # variant (S same-block tiles per grid step) when tuned
+                S = 0
                 if os.path.exists(tuned):
-                    bt = json.load(open(tuned)).get("best_tiles")
-                    if bt:
+                    cfg_t = json.load(open(tuned))
+                    bp = cfg_t.get("best_packed")
+                    bt = cfg_t.get("best_tiles")
+                    if bp:
+                        R, WT, S = int(bp["R"]), int(bp["WT"]), int(bp["S"])
+                        mode = bp.get("mode", mode)
+                    elif bt:
                         R, WT = int(bt["R"]), int(bt["WT"])
                         mode = bt.get("mode", mode)
                 R = int(os.environ.get("GLT_BENCH_R", R))
                 WT = int(os.environ.get("GLT_BENCH_WT", WT))
+                S = int(os.environ.get("GLT_BENCH_S", S))
                 mode = os.environ.get("GLT_BENCH_PREC", mode)
                 gp = pad_graph_to(g, max(R, WT))
                 if gp.n != g.n:
@@ -126,12 +134,35 @@ def main():
                 band = _mat(cols_c, vals_c, tiles[0], tiles[1])
                 float(jnp.sum(band[0, :8]))
                 band_build_s = time.perf_counter() - t0
-                _hybrid = jax.jit(
-                    lambda band_, tiles_, g_, resid_, X: spmm_tiles_hybrid(
-                        band_, tiles_, g_, X, R=R, WT=WT, mode=mode,
-                        resid=resid_))
-                fn = lambda X: _hybrid(band, tiles, gp, resid, X)
-                kernel_name = "pallas_tiles_stream"
+                if S > 1:
+                    from graphlearning_tpu.ops.pallas_spmm import (
+                        apply_residual, band_tiles_spmm_packed, pack_band,
+                        pack_tiles)
+
+                    sb, sts, sbf, src = pack_tiles(tb, ts, bf, S)
+                    packed = pack_band(band, src, R=R, WT=WT)
+                    band.delete()
+                    band = packed
+                    slabs = (jnp.asarray(sb), jnp.asarray(sts),
+                             jnp.asarray(sbf))
+
+                    @jax.jit
+                    def _packed_run(band_, sb_, sts_, sbf_, resid_, X):
+                        out = band_tiles_spmm_packed(
+                            band_, sb_, sts_, sbf_, X, n=gp.n, R=R, WT=WT,
+                            S=S, mode=mode)
+                        return apply_residual(out, X, resid_)
+
+                    fn = lambda X: _packed_run(band, *slabs, resid, X)
+                    kernel_name = f"pallas_tiles_packed_s{S}"
+                else:
+                    _hybrid = jax.jit(
+                        lambda band_, tiles_, g_, resid_, X:
+                        spmm_tiles_hybrid(
+                            band_, tiles_, g_, X, R=R, WT=WT, mode=mode,
+                            resid=resid_))
+                    fn = lambda X: _hybrid(band, tiles, gp, resid, X)
+                    kernel_name = "pallas_tiles_stream"
                 pallas_ok = True
             else:
                 gp = pad_graph_to(g, max(R, WT))
@@ -216,11 +247,16 @@ def main():
     # achieved-GB/s fraction against the v5e ~819 GB/s HBM peak says how
     # close the kernel is to its memory-bound speed of light.
     roofline = {}
-    if pallas_ok and kernel_name == "pallas_tiles_stream":
+    if pallas_ok and kernel_name.startswith("pallas_tiles"):
         b_band = 2 if mode == "bf16" else 4
-        G = len(tb)
-        traffic = (G * (R * WT * b_band + WT * d * 4)
-                   + (gp.n // R) * R * d * 4)
+        if kernel_name.startswith("pallas_tiles_packed"):
+            G = len(sb)
+            traffic = (G * (R * S * WT * b_band + S * WT * d * 4)
+                       + (gp.n // R) * R * d * 4)
+        else:
+            G = len(tb)
+            traffic = (G * (R * WT * b_band + WT * d * 4)
+                       + (gp.n // R) * R * d * 4)
         dt1 = dt / iters
         roofline = {
             "bytes_per_edge": round(traffic / nnz, 1),

@@ -1069,12 +1069,17 @@ def band_tiles_spmm_packed(band, slab_block, slab_starts, slab_first, X,
     G = slab_block.shape[0]
     d = X.shape[1]
     assert n % R == 0 and X.shape[0] % WT == 0 and d % 128 == 0
-    assert slab_starts.shape == (G, S)
+    # starts are prefetched FLAT (G*S,): a 2-D scalar-prefetch array is
+    # lane-padded to 128 in SMEM (measured: a (G, 4) table became a 1.9 MB
+    # SMEM operand and overflowed the 1 MB budget)
+    slab_starts = slab_starts.reshape(-1)
+    assert slab_starts.shape == (G * S,)
     kernel = functools.partial(_tiles_packed_kernel, WT=WT, S=S, mode=mode)
     x_specs = [
-        pl.BlockSpec((WT, d),
-                     (lambda k: lambda g, tb, ts, bf: (ts[g, k] // WT, 0))(k),
-                     memory_space=pltpu.VMEM)
+        pl.BlockSpec(
+            (WT, d),
+            (lambda k: lambda g, tb, ts, bf: (ts[g * S + k] // WT, 0))(k),
+            memory_space=pltpu.VMEM)
         for k in range(S)
     ]
     return pl.pallas_call(

@@ -131,11 +131,6 @@ def main():
     print("best:", json.dumps(results[0]))
 
 
-if __name__ == "__main__":
-    if os.environ.get("GLT_SWEEP_PACKED"):
-        sweep_packed()
-    else:
-        main()
 
 
 def sweep_packed():
@@ -228,3 +223,10 @@ def sweep_packed():
     json.dump({"n": n, "k": k, "d": d, "nnz": int(nnz),
                "results": results}, open(out_path, "w"), indent=1)
     print("best packed:", json.dumps(results[0]))
+
+
+if __name__ == "__main__":
+    if os.environ.get("GLT_SWEEP_PACKED"):
+        sweep_packed()
+    else:
+        main()

@@ -33,13 +33,14 @@ class clustering:
         self.num_clusters = num_clusters
         self.fitted = False
 
-    _sharded_supported = False     # overridden by spectral
+    _sharded_supported = False     # overridden by spectral/incres
 
     def distribute(self, mesh="auto", strict=False):
         """Enable sharded (multi-device) execution for this model's fit —
-        same contract as :meth:`ssl.ssl.distribute`.  Currently consumed by
-        :class:`spectral` (sharded LOBPCG eigensolver); other clusterers
-        warn loudly (``strict=True`` raises) and run single-device."""
+        same contract as :meth:`ssl.ssl.distribute`.  Consumed by
+        :class:`spectral` (sharded LOBPCG eigensolver) and :class:`incres`
+        (sharded plant/grow/harvest loop); other clusterers warn loudly
+        (``strict=True`` raises) and run single-device."""
         if mesh is None:
             self._dist = None
         else:
@@ -163,6 +164,8 @@ class incres(clustering):
     random-walk diffusion (device SpMM in a ``lax.while_loop``), harvest
     by argmax, increment seed count."""
 
+    _sharded_supported = True
+
     def __init__(self, W, num_clusters, speed=5, T=200, seed=None):
         super().__init__(W, num_clusters)
         self.speed = speed
@@ -186,6 +189,14 @@ class incres(clustering):
             # reference's per-round host np.random planting is replaced by
             # the jax RNG — the algorithm is stochastic either way)
             from graphlearning_tpu.ops import accel as _accel
+
+            dist = getattr(self, "_dist", None)
+            if dist is not None:
+                from graphlearning_tpu.parallel import execute as _exec
+
+                return _exec.incres_fit_sharded(
+                    dist, G.weight_matrix, u, self.seed, k=k, T=self.T,
+                    Dm=Dm)
 
             key = jax.random.PRNGKey(0 if self.seed is None else self.seed)
             acc = _accel.maybe_build(G.weight_matrix, cache_obj=self,

@@ -642,6 +642,63 @@ def sparse_lp_fit_sharded(dist: Distributor, model, train_ind,
         jnp.asarray(onehot, dtype=dtype), n=n, kc=kc, T=model.T))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "T", "Dm"))
+def _incres_loop_sharded(g, deg, valid, u0, key, *, k, T, Dm):
+    """Padding-aware fused INCRES loop (mirrors clustering._incres_loop_xla,
+    reference clustering.py:282-371): padding rows are never planted
+    (score -inf), never counted as members, and excluded from the
+    everyone-reached growth stop."""
+    n = u0.shape[0]
+    max_m = 1 + (T - 1) * Dm
+    neg_inf = -jnp.inf
+    dinv = safe_inv_deg(deg)
+
+    def grow(F):
+        def cond(state):
+            F, it = state
+            return jnp.logical_and(
+                jnp.min(jnp.where(valid[:, None], F, 1.0)) == 0, it < n)
+
+        def body(state):
+            F, it = state
+            return _ops.spmm(g, dinv[:, None] * F), it + 1
+
+        return jax.lax.while_loop(cond, body, (F, 0))[0]
+
+    def round_fn(carry, i):
+        u, key = carry
+        key, sub = jax.random.split(key)
+        scores = jax.random.uniform(sub, (k, n))
+        member = (u[None, :] == jnp.arange(k)[:, None]) & valid[None, :]
+        member = member | ((~jnp.any(member, axis=1))[:, None]
+                           & valid[None, :])
+        s = jnp.where(member, scores, neg_inf)
+        top_vals, top_idx = jax.lax.top_k(s, max_m)
+        m_i = 1 + i * Dm
+        take = ((jnp.arange(max_m)[None, :] < m_i)
+                & (top_vals > neg_inf)).astype(deg.dtype)
+        F = jnp.zeros((n, k), deg.dtype)
+        F = F.at[top_idx, jnp.arange(k)[:, None]].add(take)
+        F = grow(F)
+        return (jnp.argmax(F, axis=1).astype(jnp.int32), key), None
+
+    (u, _), _ = jax.lax.scan(round_fn, (u0, key), jnp.arange(T))
+    return u
+
+
+def incres_fit_sharded(dist: Distributor, W, u0, seed, *, k, T, Dm):
+    """Sharded INCRES clustering fit (reference clustering.py:282-371)."""
+    g, n = dist.operator(W)
+    dtype = dist.config.resolve_dtype()
+    deg = _ops.degree_vector(g).astype(dtype)
+    valid = dist.valid_mask(n, g.n, op=g)
+    u0 = dist.put_rows(np.asarray(u0, np.int32), op=g)
+    key = jax.random.PRNGKey(0 if seed is None else seed)
+    u = _incres_loop_sharded(g, deg, valid, u0, key, k=int(k), T=int(T),
+                             Dm=int(Dm))
+    return dist.gather(u, n, op=g)
+
+
 # =========================================================================
 # Sharded eigensolver (spectral clustering / spectral embeddings).
 # =========================================================================

@@ -80,8 +80,61 @@ def main():
     # cross-process psum through a sharded reduction
     total = float(jnp.sum(out))
     np.testing.assert_allclose(total, ref.sum(), rtol=1e-10)
+
+    # partitioned tiled-band SpMM with ppermute halo exchange CROSSING the
+    # process boundary (the pod-scale hot path, parallel/band_shard.py):
+    # the partition is built host-side identically on every process; each
+    # process contributes its own row block of every array
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+    from graphlearning_tpu.parallel.band_shard import (ShardedOp,
+                                                       build_band_partition)
+
+    perm = np.asarray(reverse_cuthill_mckee(W, symmetric_mode=True))
+    Wp = W[perm, :][:, perm].tocsr()
+    part = build_band_partition(Wp, Pn=ndev, R=8, WT=8, interpret=True,
+                                band_dtype=np.float64)
+    mesh1 = Mesh(np.asarray(jax.devices()), ("nodes",))
+    sh_r = NamedSharding(mesh1, P("nodes", None))
+    sh_f = NamedSharding(mesh1, P("nodes"))
+    sh_rep = NamedSharding(mesh1, P())
+
+    def put_g(a, sh):
+        if sh is sh_rep:
+            return jax.make_array_from_process_local_data(
+                sh, np.ascontiguousarray(a), global_shape=a.shape)
+        per = a.shape[0] // nproc
+        return jax.make_array_from_process_local_data(
+            sh, np.ascontiguousarray(a[pid * per:(pid + 1) * per]),
+            global_shape=a.shape)
+
+    res = None
+    if len(part.res_rows):
+        res = (put_g(part.res_rows, sh_rep), put_g(part.res_cols, sh_rep),
+               put_g(part.res_vals.astype(np.float64), sh_rep))
+    op = ShardedOp(
+        g=None,
+        band=put_g(part.band, sh_r), tb=put_g(part.tb, sh_f),
+        ts=put_g(part.ts, sh_f), bf=put_g(part.bf, sh_f), res=res,
+        meta=(mesh1, "nodes", part.Pn, part.B, part.H, part.R, part.WT,
+              part.G, "f64", True))
+    Xb = np.zeros((part.n_pad, d))
+    Xb[:n] = X[perm]
+    Xs = put_g(Xb, sh_r)
+    band_out = jax.jit(lambda op, X: op.spmm_(X),
+                       out_shardings=sh_r)(op, Xs)
+    ref_b = Wp @ X[perm]
+    for s in band_out.addressable_shards:
+        sl = s.index[0]
+        rows = np.asarray(s.data)
+        start = sl.start or 0
+        expect = np.zeros((rows.shape[0], d))
+        real = max(0, min(n - start, rows.shape[0]))
+        if real > 0:
+            expect[:real] = ref_b[start:start + real]
+        np.testing.assert_allclose(rows, expect, rtol=1e-9, atol=1e-10)
+
     print(f"MULTIHOST_OK pid={pid} procs={jax.process_count()} "
-          f"devices={ndev}", flush=True)
+          f"devices={ndev} banded_halo=ok", flush=True)
 
 
 if __name__ == "__main__":

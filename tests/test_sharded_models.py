@@ -343,3 +343,18 @@ def test_active_learning_with_distributed_model(mesh, clusters):
         q = al.select_queries(batch_size=1)
         al.update(q, labels[q])
     assert len(al.labeled_ind) == len(train_ind) + 2
+
+
+def test_incres_clustering_sharded(mesh, clusters):
+    """Sharded INCRES: padding-aware plant/grow/harvest loop reaches
+    comparable clustering accuracy over the mesh (stochastic model —
+    compare accuracy bands, not labels)."""
+    W, labels, _ = clusters
+    acc_sh = gl.clustering.clustering_accuracy(
+        gl.clustering.incres(W, num_clusters=3, T=40,
+                             seed=0).distribute(mesh).fit_predict(),
+        labels)
+    acc_ref = gl.clustering.clustering_accuracy(
+        gl.clustering.incres(W, num_clusters=3, T=40, seed=0).fit_predict(),
+        labels)
+    assert acc_sh > 75.0 and abs(acc_sh - acc_ref) < 15.0, (acc_sh, acc_ref)

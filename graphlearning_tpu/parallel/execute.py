@@ -78,10 +78,14 @@ class Distributor:
             mode = self.config.band_mode
         elif cpu and jax.config.jax_enable_x64:
             mode = "f64"
-        elif cpu:
-            mode = "f32"
         else:
-            mode = "bf16x3"
+            # exact f32 (Mosaic HIGHEST): solver programs share one
+            # operator per (graph, mesh) across tolerances, and the tight
+            # CG tolerances (1e-8) diverge on a bf16x3 operator (measured
+            # on the real chip: poisson agreement fell to 0.66).  Users
+            # can opt into bf16x3/bf16 via band_mode for loose-tolerance
+            # diffusion workloads.
+            mode = "f32"
         return R, WT, mode, cpu
 
     def operator(self, W, transpose: bool = False):
@@ -380,6 +384,7 @@ def poisson_cg_fit_sharded(dist: Distributor, W, source, tol,
     deg = _ops.degree_vector(g)
     s = safe_inv_sqrt_deg(deg)
     v = _ssl._cg_scaled_solve(g, s, s[:, None] * b, 1.0, 1.0, tol)
+    v = _ssl._project_out_nlap_kernel(v, deg.astype(v.dtype))
     return dist.gather(s[:, None] * v, n, op=g)
 
 

@@ -43,6 +43,24 @@ def _cg_scaled_solve(g, s, b, c0, c1, tol, max_iter=10**5):
     return x
 
 
+@jax.jit
+def _project_out_nlap_kernel(v, deg):
+    """Remove the ``D^{1/2} 1`` kernel component per class column.
+
+    The normalized Laplacian ``I - D^{-1/2} W D^{-1/2}`` is singular with
+    kernel ``D^{1/2} 1``; the Poisson rhs is kernel-orthogonal (sources
+    sum to zero, reference ssl.py:620-622), so the exact CG-from-zero
+    solution is too — but float32 rounding drifts a DIFFERENT kernel
+    multiple into each class column, which shifts the argmax globally
+    (measured: 35% prediction flips vs the f64 scipy solution on a
+    uniform 2-D kNN graph at n=32768, large margins).  Projecting the
+    known kernel back out restores the f64-gauge solution.  Padding rows
+    (deg 0) contribute nothing."""
+    q = jnp.sqrt(jnp.maximum(deg, 0.0)).astype(v.dtype)
+    coef = (q @ v) / jnp.sum(q * q)
+    return v - q[:, None] * coef[None, :]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("normalization", "order", "max_iter"))
 def _laplace_constrained(g, tau, mask, bdy, tol, normalization="combinatorial",
@@ -719,10 +737,14 @@ class poisson(ssl):
                 s_p = acc.to_perm(s)
                 v = acc.cg_scaled(s_p, s_p[:, None] * acc.to_perm(b),
                                   tol=self.tol)
+                deg_p = jnp.where(s_p > 0, 1.0 / jnp.where(
+                    s_p == 0, 1.0, s_p) ** 2, 0.0)
+                v = _project_out_nlap_kernel(v, deg_p)
                 u = acc.from_perm(s_p[:, None] * v)
             else:
                 v = _cg_scaled_solve(g, s, s[:, None] * b, 1.0, 1.0,
                                      self.tol)
+                v = _project_out_nlap_kernel(v, deg)
                 u = s[:, None] * v
         elif self.solver == "gradient_descent":
             # banded fast path (symmetric graphs only: spmm == spmm_t there)
@@ -804,6 +826,7 @@ class poisson(ssl):
         def solve_one(b):
             v, _, _ = _cg.conjgrad(Lnorm, s[:, None] * b, tol=tol,
                                    max_iter=10**5)
+            v = _project_out_nlap_kernel(v, deg)
             return jnp.argmax(s[:, None] * v, axis=1)
 
         preds = jax.jit(jax.vmap(solve_one))(

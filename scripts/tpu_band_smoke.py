@@ -93,6 +93,30 @@ def main():
     results["padded_tile_list"] = {"rel_err": err2, "G": G, "Gpad": Gpad}
     assert err2 < 5e-3, err2
 
+    # 3) full MODEL fit through the banded sharded operator, non-interpret
+    #    (Distributor auto-selects the band on TPU; agreement vs the
+    #    unsharded fit and vs the f64 scipy gauge)
+    import graphlearning_tpu as gl
+
+    labels = (np.random.RandomState(2).rand(n) > 0.5).astype(int)
+    train_ind = np.random.RandomState(3).choice(n, 40, replace=False)
+    cfg = gl.GLTConfig(mesh_shape=(1,), mesh_axes=("nodes",),
+                       sharded_kernel="banded")
+    m_sh = gl.ssl.poisson(W, tol=1e-8).distribute(cfg)
+    t0 = time.perf_counter()
+    pred_sh = m_sh.fit_predict(train_ind, labels[train_ind])
+    cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pred_sh = m_sh.fit_predict(train_ind, labels[train_ind])
+    warm = time.perf_counter() - t0
+    pred_un = gl.ssl.poisson(W, tol=1e-8).fit_predict(train_ind,
+                                                      labels[train_ind])
+    agree = float(np.mean(pred_sh == pred_un))
+    results["banded_model_fit"] = {"agree_vs_unsharded": agree,
+                                   "cold_s": round(cold, 2),
+                                   "warm_s": round(warm, 3)}
+    assert agree > 0.99, agree
+
     print(json.dumps({"tpu_band_smoke": "ok", "backend": jax.default_backend(),
                       **results}))
 

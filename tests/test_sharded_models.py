@@ -279,7 +279,7 @@ def test_distribute_warns_on_unsupported(mesh, clusters):
         gl.ssl.dynamic_label_propagation(W).distribute(mesh, strict=True)
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
-        gl.clustering.incres(W, num_clusters=3).distribute(mesh)
+        gl.clustering.fokker_planck(W, num_clusters=3).distribute(mesh)
     assert any("no sharded execution path" in str(w.message) for w in rec)
 
 

@@ -227,3 +227,26 @@ def test_warmup_api(moons):
     assert m.fitted is False and m.prob is None
     pred = m.fit_predict(train_ind, labels[train_ind])
     assert gl.ssl.ssl_accuracy(pred, labels, train_ind) > 90.0
+
+
+def test_poisson_cg_kernel_gauge(W_medium):
+    """The Poisson CG solution must carry no component along the
+    normalized Laplacian's kernel D^{1/2} 1 — equivalently the
+    degree-weighted column sums of u vanish.  float32 CG drifts a
+    different kernel multiple into each class column (measured on the
+    real chip: 35% of predictions flipped vs the f64 scipy solution
+    before the gauge projection, ssl._project_out_nlap_kernel)."""
+    import scipy.sparse as sp
+
+    rs = np.random.RandomState(5)
+    n = W_medium.shape[0]
+    labels = rs.randint(0, 3, n)
+    train_ind = rs.choice(n, 30, replace=False)
+    m = gl.ssl.poisson(W_medium, tol=1e-8)
+    u = m.fit(train_ind, labels[train_ind])
+    W0 = W_medium.copy()
+    W0.setdiag(0)
+    W0.eliminate_zeros()
+    deg = np.asarray(W0.sum(1)).ravel()
+    gauge = np.abs(deg @ np.asarray(u)) / (np.abs(u).max() * deg.sum())
+    assert gauge.max() < 1e-6, gauge

@@ -1049,19 +1049,23 @@ def _lip_gs_accel(band, winstart, resid, wsum_p, u0_p, mask_p, gvals_p,
         return jax.lax.fori_loop(0, nb, blk, (u, jnp.float32(0.0)))
 
     def body(state):
-        u, err, it = state
-        u, err = sweep(u)
-        return u, err, it + 1
+        u, u_prev, err, it = state
+        u_new, err = sweep(u)
+        # period-2 stop (same guard as the Jacobi kernel): a nonexpansive
+        # fixed-point map can settle into a 2-cycle straddling the fixed
+        # point, which would otherwise spin to max_iter / the TPU watchdog
+        err = jnp.minimum(err, jnp.max(jnp.abs(u_new - u_prev)))
+        return u_new, u, err, it + 1
 
     def cond(state):
-        u, err, it = state
+        u, u_prev, err, it = state
         # reference stopping: err < tol only honored after 20 sweeps
         # (lp_iterate.cpp:185)
         return jnp.logical_and(
             jnp.logical_or(err > tol, it <= 20), it < max_iter)
 
-    u, _, _ = jax.lax.while_loop(
-        cond, body, (u0_p, jnp.asarray(jnp.inf, jnp.float32), 0))
+    u, _, _, _ = jax.lax.while_loop(
+        cond, body, (u0_p, u0_p, jnp.asarray(jnp.inf, jnp.float32), 0))
     return u
 
 

@@ -61,19 +61,33 @@ def use_host_lip(n: int, nnz: int, accel=None) -> bool:
     if not _config.is_tpu():
         return False
     if n <= small_n_threshold():
-        return True
+        return _native_ok()
     if nnz > 5e7:                 # host sweeps no longer feasible
         return False
     if accel is None or not getattr(accel, "materialize", False):
-        return True               # device would pay the raw-gather path
+        return _native_ok()       # device would pay the raw-gather path
     # cost model (both sides measured at the 5a config, 2026-08-21):
-    # host GS touches only real edges, ~35 sweeps x ~3 ns/edge;
-    # device Jacobi streams the dense band ~700 rounds at ~819 GB/s
+    # host GS touches only real edges, ~35 sweeps x ~3 ns/edge; the
+    # device block-GS streams the RECTANGULAR band (accel.rect_band_bytes
+    # — NOT the tiles-overwritten Wwin) ~35 sweeps at ~819 GB/s, and is
+    # only viable at all when that band fits the HBM budget.
     host_s = nnz * 35 * 3e-9
-    bpc = 2 if getattr(accel, "_band_dtype", None) == jnp_bf16() else 4
-    device_s = 700 * accel.n_pad * accel.Wwin * bpc / 819e9
+    if hasattr(accel, "rect_band_bytes"):
+        if not accel.rect_band_ok():
+            return _native_ok()   # device GS path unavailable
+        device_s = 35 * accel.rect_band_bytes() / 819e9
+    else:
+        bpc = 2 if getattr(accel, "_band_dtype", None) == jnp_bf16() else 4
+        device_s = 700 * accel.n_pad * accel.Wwin * bpc / 819e9
     if host_s >= device_s:
         return False
+    return _native_ok()
+
+
+def _native_ok() -> bool:
+    """True only when the host oracle library loads (ADVICE r3: every
+    host-path True must be guarded, or fits raise inside the compile
+    step on hosts without a toolchain)."""
     try:
         from graphlearning_tpu import native
 

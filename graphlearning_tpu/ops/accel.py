@@ -542,6 +542,20 @@ class AccelSpMM:
             jnp.asarray(tol, jnp.float32), C=C,
             **self._statics(max_iter=int(max_iter)))
 
+    def rect_band_bytes(self) -> int:
+        """HBM cost of the rectangular (n_pad, Wwin) band the
+        block-Gauss-Seidel lip solver streams.  May be much larger than
+        ``self.band_bytes`` when the compact tiles plan overwrote ``Wwin``
+        — gate ``lip_gs_mc`` on THIS, not on ``self.materialize``."""
+        Wr = int(self._rect_plan[3])
+        bpc = 2 if self._band_dtype == jnp.bfloat16 else 4
+        return self.n_pad * Wr * bpc
+
+    def rect_band_ok(self) -> bool:
+        """True when the rectangular band fits the HBM budget (so the
+        block-GS lip path is safe to materialize)."""
+        return self.rect_band_bytes() <= _band_budget_bytes()
+
     def _rect_band(self):
         """Lazy rectangular (n_pad, Wwin) band + its residual — the
         uniform-block layout the block-Gauss-Seidel scan needs (the tiled
@@ -549,10 +563,22 @@ class AccelSpMM:
         cached = getattr(self, "_rect_cache", None)
         if cached is not None:
             return cached
+        if not self.rect_band_ok():
+            raise ValueError(
+                f"rectangular band {self.rect_band_bytes():.2e} B exceeds "
+                f"the HBM budget {_band_budget_bytes():.2e} B — callers "
+                "must gate on rect_band_ok()")
+        winstart, rrows, rslots, Wr, kcap = self._rect_plan
+        if self._tiles is None and self.materialize \
+                and int(Wr) == int(self.Wwin):
+            # the materialized band IS the rectangular band — don't build
+            # a second identical copy (ADVICE r3: doubling band memory)
+            self._rect_cache = (self.band(), jnp.asarray(winstart),
+                                self._resid, int(Wr))
+            return self._rect_cache
         from graphlearning_tpu.ops.pallas_spmm import (
             build_residual_ell, materialize_band)
 
-        winstart, rrows, rslots, Wr, kcap = self._rect_plan
         cols = self.g.cols[:, :kcap]
         vals = self.g.vals[:, :kcap]
         band = materialize_band(cols, vals, jnp.asarray(winstart), Wr,

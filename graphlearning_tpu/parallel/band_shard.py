@@ -422,8 +422,9 @@ class ShardedBandPlan:
 
     def spmm(self, X):
         """``W @ X`` over the mesh.  ``X``: (n_pad, d) sharded (or host
-        array, which is padded + placed).  The (n_pad, d_padded) result
-        chains directly into the next call."""
+        array, which is padded + placed).  Returns (n_pad, d) — lane
+        padding to 128 is applied and sliced back off internally by
+        ``ShardedOp.spmm_`` — and chains directly into the next call."""
         if not hasattr(X, "sharding"):
             X = self.put_rows(X)
         if self._fn is None:

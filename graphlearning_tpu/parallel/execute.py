@@ -284,8 +284,10 @@ def _poisson_gd_sharded(g, deg, Db, v0, *, min_iter, max_iter, n_true):
     """Poisson gradient descent ``u <- Db + D^{-1} W u`` with the
     random-walk mixing-time stop (reference ssl.py:631-677), padding-aware:
     ``vinf`` is 0 on padding rows (deg 0) and the 1/n threshold uses the
-    true node count.  Symmetric graphs (W == W^T) only — the models
-    guarantee this (graph constructions symmetrize)."""
+    true node count.  Asymmetric W is supported via the caller's
+    transposed-operator contract: ``g``'s spmm must compute ``W^T u``
+    and ``deg`` must be the ROW sums of W (poisson_gd_fit_sharded
+    feeds exactly that for directed graphs)."""
     dinv = safe_inv_deg(deg)
     vinf = deg / jnp.sum(deg)
 

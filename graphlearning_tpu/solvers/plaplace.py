@@ -460,10 +460,13 @@ def plaplace_mc(g: SparseGraph, bdy_set, bdy_vals, p, max_num_it=10**6,
     # reference's 1e-5, ssl.py plaplace.__init__; the default 1e-1 belongs
     # to the lp_iterate sandwich — map it to 1e-5 here); clamp to f32 floor
     tol_fast = max(tol if tol < 1e-1 else 1e-5, eps_floor)
-    if accel is not None and accel.materialize and C <= 32:
+    if (accel is not None and accel.materialize and C <= 32
+            and accel.rect_band_ok()):
         # banded fast path from a harmonic warm start: block-Gauss-Seidel
         # sweeps (AccelSpMM.lip_gs_mc — reference-like per-sweep
-        # propagation, ~20x fewer rounds than the Jacobi tiled kernel)
+        # propagation, ~20x fewer rounds than the Jacobi tiled kernel);
+        # rect_band_ok gates on the RECTANGULAR window's HBM cost, which
+        # on band-hostile graphs can far exceed the tiles band
         u0 = _laplace_init(accel, g, bdy_mask, gvals)
         u = accel.lip_gs_mc(u0, bdy_mask, gvals, alpha, beta,
                             max(tol_fast, 1e-5), int(max_num_it))
@@ -495,7 +498,7 @@ def amle_mc(g: SparseGraph, bdy_set, bdy_vals, tol=1e-5, max_num_it=10**5,
     gvals[bdy_set] = bdy_vals
     tol = max(tol, 100 * float(jnp.finfo(dtype).eps))
     if (not weighted and accel is not None and accel.materialize
-            and C <= 32):
+            and C <= 32 and accel.rect_band_ok()):
         # block-Gauss-Seidel sweeps (AccelSpMM.lip_gs_mc) from a harmonic
         # warm start — same fixed point, reference-like round counts
         u0 = _laplace_init(accel, g, bdy_mask, gvals)

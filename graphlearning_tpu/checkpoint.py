@@ -33,8 +33,13 @@ def save(path: str, state: Any, step: int = 0) -> None:
         )
 
 
-def load(path: str):
-    """Load ``(state, step)`` saved by :func:`save`; None if absent."""
+def load(path: str, like: Any = None):
+    """Load ``(state, step)`` saved by :func:`save`; None if absent.
+
+    ``like``: optional template pytree — the restored leaves are
+    re-shaped onto its tree structure (orbax restores tuples as lists,
+    which would break jitted ``state -> state`` programs traced on
+    tuples)."""
     import orbax.checkpoint as ocp
 
     path = _ckpt_dir(path)
@@ -42,7 +47,11 @@ def load(path: str):
         return None
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(path)
-    return restored["state"], int(restored["step"])
+    state = restored["state"]
+    if like is not None:
+        state = jax.tree.unflatten(jax.tree.structure(like),
+                                   jax.tree.leaves(state))
+    return state, int(restored["step"])
 
 
 def run_checkpointed(
@@ -62,12 +71,44 @@ def run_checkpointed(
     """
     start = 0
     if resume:
-        restored = load(path)
+        restored = load(path, like=state)
         if restored is not None:
             state, start = restored
     step = start
     while step < num_steps:
         seg = min(every, num_steps - step)
+        for _ in range(seg):
+            state = step_fn(state)
+        jax.block_until_ready(state)
+        step += seg
+        save(path, state, step)
+    return state, step
+
+
+def run_checkpointed_while(
+    step_fn: Callable,
+    state: Any,
+    done_fn: Callable,
+    max_steps: int,
+    path: str,
+    every: int = 10,
+    resume: bool = True,
+):
+    """Like :func:`run_checkpointed` for data-dependent loops: run
+    ``state = step_fn(state)`` until ``done_fn(state)`` is truthy (checked
+    between checkpoint segments, so a segment may overshoot by up to
+    ``every - 1`` no-op steps — ``step_fn`` must be idempotent once done,
+    which ``lax.while_loop`` bodies converted to single rounds are when
+    they carry their own stop flag).  Returns ``(final_state,
+    steps_run)``."""
+    start = 0
+    if resume:
+        restored = load(path, like=state)
+        if restored is not None:
+            state, start = restored
+    step = start
+    while step < max_steps and not bool(done_fn(state)):
+        seg = min(every, max_steps - step)
         for _ in range(seg):
             state = step_fn(state)
         jax.block_until_ready(state)

@@ -49,6 +49,22 @@ def spmm(g: SparseGraph, X):
     return out[:, 0] if was_1d else out
 
 
+def neighbor_take(g: SparseGraph, x):
+    """``x[g.cols]`` — per-slot neighbor values: x (n,) -> (n, k),
+    x (n, C) -> (n, k, C).  Invalid (beyond-degree) slots return the
+    padding column's value; callers mask with ``g.mask()`` as they always
+    have.
+
+    Operator override: a graph-like pytree exposing ``neighbor_take_``
+    (``parallel.band_shard.ShardedOp``) computes the gather through its
+    halo exchange — per-iteration comm drops from the GSPMD all-gather of
+    all n rows to the 2H boundary rows (round-3 verdict item 2)."""
+    custom = getattr(g, "neighbor_take_", None)
+    if custom is not None:
+        return custom(x)
+    return x[g.cols]
+
+
 def spmm_t(g: SparseGraph, X):
     """``W.T @ X`` via scatter-add (segment_sum over flattened cols)."""
     X2, was_1d = _as_2d(X)

@@ -59,8 +59,8 @@ class BandPartition:
     contiguous row blocks (one per device).  Plain numpy — device
     placement is the consumer's job."""
 
-    def __init__(self, *, band, tb, ts, bf, cols, vals, deg,
-                 res_rows, res_cols, res_vals,
+    def __init__(self, *, band, tb, ts, bf, cols, vals, deg, lcols,
+                 res_rows, res_slots, res_cols, res_vals,
                  n, n_pad, B, H, G, Pn, R, WT, nnz):
         self.band = band          # (Pn*G*R, WT) materialized tiles
         self.tb = tb              # (Pn*G,) tile -> local row-block index
@@ -69,7 +69,9 @@ class BandPartition:
         self.cols = cols          # (n_pad, k) padded ELL (global indices)
         self.vals = vals
         self.deg = deg
+        self.lcols = lcols        # (n_pad, k) halo-local ELL col indices
         self.res_rows = res_rows  # global COO residual (out-of-halo edges)
+        self.res_slots = res_slots  # ELL slot of each residual edge
         self.res_cols = res_cols
         self.res_vals = res_vals
         self.n, self.n_pad = n, n_pad
@@ -139,6 +141,7 @@ def build_band_partition(W, Pn: int, R: int = 512, WT: int = 512,
     res = valid & ~in_halo
     rr, rs = np.nonzero(res)
     res_rows = rr.astype(np.int32)
+    res_slots = rs.astype(np.int32)
     res_cols = cols[rr, rs].astype(np.int32)
     res_vals = vals[rr, rs].copy()
     ell_cols, ell_vals = cols, vals
@@ -151,10 +154,12 @@ def build_band_partition(W, Pn: int, R: int = 512, WT: int = 512,
 
     Wloc = B + 2 * H                  # local feature buffer length
     plans, bands = [], []
+    lcols = np.empty_like(cols)
     for p in range(Pn):
         sl = slice(p * B, (p + 1) * B)
         local = cols[sl] - (p * B - H)           # in [0, Wloc)
         local = np.clip(local, 0, Wloc - 1)
+        lcols[sl] = local                        # halo-local ELL indices
         # per-shard plan keeps EVERY in-halo edge: no cost threshold, no
         # HBM cap (the budget was sized for the single-chip whole-graph
         # band; residual routing happens above, at the halo level)
@@ -191,8 +196,9 @@ def build_band_partition(W, Pn: int, R: int = 512, WT: int = 512,
     return BandPartition(
         band=band_all.reshape(Pn * Gmax * R, WT),
         tb=tb_all.reshape(-1), ts=ts_all.reshape(-1), bf=bf_all.reshape(-1),
-        cols=ell_cols, vals=ell_vals, deg=deg,
-        res_rows=res_rows, res_cols=res_cols, res_vals=res_vals,
+        cols=ell_cols, vals=ell_vals, deg=deg, lcols=lcols,
+        res_rows=res_rows, res_slots=res_slots, res_cols=res_cols,
+        res_vals=res_vals,
         n=n, n_pad=n_pad, B=B, H=H, G=Gmax, Pn=Pn, R=R, WT=WT, nnz=nnz)
 
 
@@ -211,6 +217,63 @@ def band_tiles_spmm_xla(band, tb, ts, X, n: int, R: int, WT: int,
                     Xt.astype(out_dtype))
     out = jax.ops.segment_sum(Pg, tb, num_segments=n // R)
     return out.reshape(n, d).astype(out_dtype)
+
+
+_MP_BIG = 1e30    # matches pallas_spmm._MINPLUS_BIG
+
+
+def band_tiles_minplus_xla(band, tb, ts, d, f, n: int, R: int, WT: int,
+                           hopf_lax: bool = False, recip: bool = False):
+    """Pure-XLA tropical (min-plus) relaxation over the tiled band — the
+    CPU-mesh analogue of ``pallas_spmm.band_tiles_minplus`` (zero band
+    cells mean 'no edge'; see that kernel's docstring).  Returns
+    ``(best, arg)``: per-row candidate min (``_MP_BIG`` where the band
+    holds no edge) and the LOCAL column index of the argmin (-1 where
+    none)."""
+    G = tb.shape[0]
+    A = band.reshape(G, R, WT).astype(d.dtype)
+    if recip:
+        A = jnp.where(A > 0, 1.0 / jnp.where(A == 0, 1.0, A), 0.0)
+    dwin = d.reshape(-1, WT)[ts // WT]                       # (G, WT)
+    fwin = f.reshape(-1, WT)[ts // WT].astype(d.dtype)
+    if hopf_lax:
+        fw = A * fwin[:, None, :]
+        cand = 0.5 * (fw + jnp.sqrt(fw * fw
+                                    + 4.0 * (dwin ** 2)[:, None, :]))
+    else:
+        cand = dwin[:, None, :] + A * fwin[:, None, :]
+    cand = jnp.where(A > 0, cand, _MP_BIG)
+    m_t = jnp.min(cand, axis=2)                              # (G, R)
+    a_t = ts[:, None] + jnp.argmin(cand, axis=2)             # local col
+    best = jax.ops.segment_min(m_t, tb, num_segments=n // R).reshape(n)
+    rows = tb[:, None] * R + jax.lax.broadcasted_iota(
+        jnp.int32, (G, R), 1)
+    hit = m_t == best[rows]
+    a_t = jnp.where(hit, a_t, jnp.int32(2 ** 30))
+    arg = jax.ops.segment_min(a_t, tb, num_segments=n // R).reshape(n)
+    arg = jnp.where(best >= _MP_BIG * 0.5, -1, arg)
+    return best, arg
+
+
+def band_tiles_lip_xla(band, tb, ts, U, n: int, R: int, WT: int):
+    """Pure-XLA lip reductions over the tiled band — CPU-mesh analogue of
+    ``pallas_spmm.band_tiles_lip``: per row ``[w-sum | neighbor min |
+    neighbor max]`` of the U columns over in-band edges (big/-big
+    identities where none)."""
+    G = tb.shape[0]
+    C = U.shape[1]
+    big = jnp.asarray(3e38, U.dtype)
+    A = band.reshape(G, R, WT).astype(U.dtype)
+    Uw = U.reshape(-1, WT, C)[ts // WT]                      # (G, WT, C)
+    s_t = jnp.einsum("grw,gwc->grc", A, Uw)
+    has = (A > 0)[:, :, :, None]
+    min_t = jnp.min(jnp.where(has, Uw[:, None, :, :], big), axis=2)
+    max_t = jnp.max(jnp.where(has, Uw[:, None, :, :], -big), axis=2)
+    nb = n // R
+    ssum = jax.ops.segment_sum(s_t, tb, num_segments=nb).reshape(n, C)
+    smin = jax.ops.segment_min(min_t, tb, num_segments=nb).reshape(n, C)
+    smax = jax.ops.segment_max(max_t, tb, num_segments=nb).reshape(n, C)
+    return ssum, smin, smax
 
 
 def _band_local_spmm(mesh, axis, Pn, B, H, R, WT, G, mode, interpret,
@@ -246,7 +309,8 @@ def _band_local_spmm(mesh, axis, Pn, B, H, R, WT, G, mode, interpret,
 
 @functools.partial(
     jax.tree_util.register_dataclass,
-    data_fields=["g", "band", "tb", "ts", "bf", "res"],
+    data_fields=["g", "band", "tb", "ts", "bf", "res", "lcols",
+                 "res_slots"],
     meta_fields=["meta"],
 )
 class ShardedOp:
@@ -265,13 +329,16 @@ class ShardedOp:
     hashable, so jit treats each (mesh, plan-geometry) as one cache entry.
     """
 
-    def __init__(self, g, band, tb, ts, bf, res, meta):
+    def __init__(self, g, band, tb, ts, bf, res, meta, lcols=None,
+                 res_slots=None):
         self.g = g
         self.band = band
         self.tb = tb
         self.ts = ts
         self.bf = bf
         self.res = res            # (rows, cols, vals) COO or None
+        self.lcols = lcols        # (n_pad, k) halo-local ELL cols
+        self.res_slots = res_slots  # ELL slot of each residual edge
         self.meta = meta
 
     # -- SparseGraph duck-type surface ------------------------------------
@@ -327,6 +394,150 @@ class ShardedOp:
             out = out[:, :d]
         return out.astype(X.dtype)
 
+    # -- halo-exchange gather + tropical/lip reductions -------------------
+    # (round-3 verdict item 2: the sharded distance/HJ family rides the
+    # band partition's single-hop halo instead of per-iteration O(n)
+    # GSPMD all-gathers.)
+
+    def _halo_map(self, fn, *arrays, out_ndim: int = 2):
+        """shard_map ``fn(band, tb, ts, bf, lcols, shard_idx, *halo_ext)``
+        over halo-extended per-shard slices of the row-sharded
+        ``arrays`` (each (n, ...))."""
+        (mesh, axis, Pn, B, H, R, WT, G, mode, interpret) = self.meta
+        fwd = [(i, (i + 1) % Pn) for i in range(Pn)]
+        bwd = [(i, (i - 1) % Pn) for i in range(Pn)]
+
+        def local(band, tb, ts, bf, lcols, *arrs):
+            ext = []
+            for a in arrs:
+                lh = jax.lax.ppermute(a[-H:], axis, fwd)
+                rh = jax.lax.ppermute(a[:H], axis, bwd)
+                ext.append(jnp.concatenate([lh, a, rh], axis=0))
+            p = jax.lax.axis_index(axis)
+            return fn(band, tb, ts, bf, lcols, p, *ext)
+
+        nd = [a.ndim for a in arrays]
+        sm = functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(axis, None), P(axis), P(axis), P(axis),
+                      P(axis, None),
+                      *[P(axis, *([None] * (x - 1))) for x in nd]),
+            out_specs=P(axis, *([None] * (out_ndim - 1))),
+            check_vma=False)
+        return sm(local)(self.band, self.tb, self.ts, self.bf,
+                         self.lcols, *arrays)
+
+    def neighbor_take_(self, x):
+        """``x[g.cols]`` computed through the halo: per-iteration comm is
+        the 2H boundary rows (one ppermute pair) instead of the GSPMD
+        all-gather of all n rows.  Residual (out-of-halo) slots are
+        patched with a global gather (few edges by construction)."""
+        x2 = x[:, None] if x.ndim == 1 else x
+
+        def fn(band, tb, ts, bf, lcols, p, xl):
+            return jnp.take(xl, lcols, axis=0)       # (B, k, C)
+
+        out = self._halo_map(fn, x2, out_ndim=3)
+        if self.res is not None and self.res_slots is not None:
+            rr, rc, _ = self.res
+            out = out.at[rr, self.res_slots].set(jnp.take(x2, rc, axis=0))
+        return out[..., 0] if x.ndim == 1 else out
+
+    def minplus_(self, d, f, hopf_lax: bool = False, recip: bool = False):
+        """One tropical (min-plus) relaxation round over the partitioned
+        band + residual: returns ``(best, arg)`` — per-row candidate min
+        (BIG where no edge) and GLOBAL argmin column (-1 where none).
+        The relaxation update matches ``solvers.eikonal._bellman_ford``
+        (eikonal ``d_j + w f_j`` or Hopf-Lax quadratic)."""
+        (mesh, axis, Pn, B, H, R, WT, G, mode, interpret) = self.meta
+        from graphlearning_tpu.ops.pallas_spmm import band_tiles_minplus
+
+        big = jnp.asarray(_MP_BIG, d.dtype)
+
+        def fn(band, tb, ts, bf, lcols, p, dfl):
+            dl, fl = dfl[:, 0], dfl[:, 1]
+            if interpret:
+                m, a = band_tiles_minplus_xla(
+                    band, tb, ts, dl, fl, n=B, R=R, WT=WT,
+                    hopf_lax=hopf_lax, recip=recip)
+            else:
+                out = band_tiles_minplus(
+                    band, tb, ts, bf, dl.astype(jnp.float32),
+                    fl.astype(jnp.float32), n=B, R=R, WT=WT,
+                    hopf_lax=hopf_lax, track_arg=True, recip=recip)
+                m = out[:, 0].astype(dl.dtype)
+                a = out[:, 1].astype(jnp.int32)
+            aglob = jnp.where(m >= _MP_BIG * 0.5, -1,
+                              a + (p * B - H))
+            return jnp.stack([m, aglob.astype(m.dtype)], axis=1)
+
+        ma = self._halo_map(fn, jnp.stack(
+            [d.astype(jnp.result_type(d.dtype, jnp.float32)),
+             f.astype(jnp.result_type(d.dtype, jnp.float32))], axis=1))
+        best, arg = ma[:, 0], ma[:, 1].astype(jnp.int32)
+        if self.res is not None:
+            n = self.g.n
+            rr, rc, rv = self.res
+            rv = rv.astype(best.dtype)
+            if recip:
+                rv = jnp.where(rv > 0, 1.0 / jnp.where(rv == 0, 1.0, rv),
+                               0.0)
+            dn = jnp.take(d, rc).astype(best.dtype)
+            fn_r = jnp.take(f, rc).astype(best.dtype)
+            if hopf_lax:
+                fw = rv * fn_r
+                cand = 0.5 * (fw + jnp.sqrt(fw * fw + 4.0 * dn * dn))
+            else:
+                cand = dn + rv * fn_r
+            cand = jnp.where(rv > 0, cand, big)
+            m_r = jnp.full((n,), big, best.dtype).at[rr].min(cand)
+            hit = cand == jnp.take(m_r, rr)
+            a_r = jnp.full((n,), -1, jnp.int32).at[rr].max(
+                jnp.where(hit, rc, -1))
+            better = m_r < best
+            best = jnp.where(better, m_r, best)
+            arg = jnp.where(better, a_r, arg)
+        return best, arg
+
+    def lip_reduce_(self, U):
+        """The three lip reductions over the partitioned band + residual:
+        returns ``(wsum_u, nmin, nmax)`` each (n, C) — w-weighted neighbor
+        sums and unweighted neighbor min/max of U's columns (big/-big
+        identities where a row has no edges).  Matches the per-round math
+        of ``solvers.plaplace._lip_iterate_mc``."""
+        (mesh, axis, Pn, B, H, R, WT, G, mode, interpret) = self.meta
+        from graphlearning_tpu.ops.pallas_spmm import band_tiles_lip
+
+        C = U.shape[1]
+        big = jnp.asarray(3e38, U.dtype)
+
+        def fn(band, tb, ts, bf, lcols, p, Ul):
+            if interpret:
+                s, mn, mx = band_tiles_lip_xla(band, tb, ts, Ul, n=B,
+                                               R=R, WT=WT)
+            else:
+                U128 = jnp.pad(Ul.astype(jnp.float32),
+                               ((0, 0), (0, 128 - C)))
+                out = band_tiles_lip(band, tb, ts, bf, U128, n=B, C=C,
+                                     R=R, WT=WT)
+                s = out[:, :C].astype(Ul.dtype)
+                mn = out[:, 128:128 + C].astype(Ul.dtype)
+                mx = out[:, 256:256 + C].astype(Ul.dtype)
+            return jnp.concatenate([s, mn, mx], axis=1)
+
+        out = self._halo_map(fn, U)
+        s, mn, mx = out[:, :C], out[:, C:2 * C], out[:, 2 * C:3 * C]
+        if self.res is not None:
+            n = self.g.n
+            rr, rc, rv = self.res
+            rv = rv.astype(U.dtype)
+            un = jnp.take(U, rc, axis=0)
+            valid = (rv > 0)[:, None]
+            s = s.at[rr].add(jnp.where(valid, rv[:, None] * un, 0.0))
+            mn = mn.at[rr].min(jnp.where(valid, un, big))
+            mx = mx.at[rr].max(jnp.where(valid, un, -big))
+        return s, mn, mx
+
 
 def make_sharded_op(W, mesh: Mesh, axis: str | None = None,
                     R: int = 512, WT: int = 512, mode: str = "bf16x3",
@@ -359,8 +570,10 @@ def make_sharded_op(W, mesh: Mesh, axis: str | None = None,
         res = (jax.device_put(jnp.asarray(part.res_rows), rep),
                jax.device_put(jnp.asarray(part.res_cols), rep),
                jax.device_put(jnp.asarray(part.res_vals, res_dtype), rep))
+        res_slots = jax.device_put(jnp.asarray(part.res_slots), rep)
     else:
         res = None
+        res_slots = None
     op = ShardedOp(
         g=g,
         band=jax.device_put(jnp.asarray(part.band), row),
@@ -368,6 +581,9 @@ def make_sharded_op(W, mesh: Mesh, axis: str | None = None,
         ts=jax.device_put(jnp.asarray(part.ts), flat),
         bf=jax.device_put(jnp.asarray(part.bf), flat),
         res=res,
+        lcols=jax.device_put(
+            jnp.asarray(part.lcols, _config.index_dtype), row),
+        res_slots=res_slots,
         meta=(mesh, axis, part.Pn, part.B, part.H, R, WT, part.G, mode,
               interpret))
     op.residual_frac = part.residual_frac

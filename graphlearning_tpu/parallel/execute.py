@@ -451,18 +451,54 @@ def volume_mbo_fit_sharded(dist: Distributor, W, labels0, fixed_mask,
     return dist.gather(out, n, op=g)
 
 
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def _lip_iterate_banded(op, u0, bdy_mask, gvals, alpha, beta, tol,
+                        *, max_iter):
+    """Unweighted lip/AMLE Jacobi with the three per-round reductions
+    (w-sum, neighbor min, neighbor max — reference lp_iterate.cpp:35-187)
+    riding the partitioned band stream + single-hop halo
+    (``ShardedOp.lip_reduce_``) instead of the (n, k, C) GSPMD gather.
+    Same fixed point and period-2 stop as ``plaplace._lip_iterate_mc``."""
+    wsum = jnp.sum(jnp.where(op.mask(), op.vals, 0.0),
+                   axis=1).astype(u0.dtype)[:, None]
+    bdy3 = bdy_mask[:, None]
+
+    def body(state):
+        u, u_prev, err, it = state
+        s, mn, mx = op.lip_reduce_(u)
+        ne = (alpha * s / jnp.where(wsum == 0, 1.0, wsum)
+              + beta * 0.5 * (mn + mx))
+        u_new = jnp.where(bdy3, gvals, ne)
+        err = jnp.minimum(jnp.max(jnp.abs(u_new - u)),
+                          jnp.max(jnp.abs(u_new - u_prev)))
+        return u_new, u, err, it + 1
+
+    def cond(state):
+        u, u_prev, err, it = state
+        return jnp.logical_and(
+            jnp.logical_or(err > tol, it <= 20), it < max_iter)
+
+    u0 = jnp.where(bdy3, gvals, u0)
+    u, _, _, _ = jax.lax.while_loop(
+        cond, body, (u0, u0, jnp.asarray(jnp.inf, u0.dtype), 0))
+    return u
+
+
 def lip_fit_sharded(dist: Distributor, W, bdy_set, bdy_vals, *, alpha=None,
                     beta=None, weighted=False, tol=1e-5, max_num_it=10**5,
                     u0=None):
     """Sharded one-vs-rest p-Laplace/AMLE lip iteration (reference
     lp_iterate.cpp): mesh-padding rows enter as boundary rows pinned to 0,
-    so the Jacobi fixed point on real rows is unchanged — this reuses the
-    SAME jitted ``_lip_iterate_mc``/``_lip_iterate_weighted_mc`` programs
-    as the single-chip path."""
+    so the Jacobi fixed point on real rows is unchanged.  Through a
+    banded operator (round-3 verdict item 2) the unweighted iteration
+    streams the partitioned band (``_lip_iterate_banded``) and the
+    weighted bisection reuses ``_lip_iterate_weighted_mc`` whose gather
+    now rides the halo exchange (``ops.neighbor_take``); the GSPMD
+    fallback reuses the same single-chip programs unchanged."""
     from graphlearning_tpu.solvers.plaplace import (
         _lip_iterate_mc, _lip_iterate_weighted_mc)
 
-    g, n = dist.shard_graph(W)
+    g, n = dist.operator(W)
     dtype = dist.config.resolve_dtype()
     bdy_set = np.asarray(bdy_set)
     bdy_vals = np.asarray(bdy_vals, dtype=float)
@@ -473,20 +509,26 @@ def lip_fit_sharded(dist: Distributor, W, bdy_set, bdy_vals, *, alpha=None,
     gvals[bdy_set] = bdy_vals
     if u0 is None:
         u0 = np.zeros((n, C))
-    mask = dist.put_rows(bdy_mask, fill=True)   # padding rows = boundary 0
-    gv = dist.put_rows(gvals, dtype=dtype)
-    u0 = dist.put_rows(np.asarray(u0), dtype=dtype)
+    mask = dist.put_rows(bdy_mask, fill=True, op=g)  # padding = boundary 0
+    gv = dist.put_rows(gvals, dtype=dtype, op=g)
+    u0 = dist.put_rows(np.asarray(u0), dtype=dtype, op=g)
     tol = max(float(tol), 100 * float(jnp.finfo(dtype).eps))
     if weighted:
         u = _lip_iterate_weighted_mc(g, u0, mask, gv,
                                      jnp.asarray(tol, dtype=dtype),
                                      int(max_num_it))
+    elif hasattr(g, "lip_reduce_") and C <= 128:
+        u = _lip_iterate_banded(g, u0, mask, gv,
+                                jnp.asarray(alpha, dtype=dtype),
+                                jnp.asarray(beta, dtype=dtype),
+                                jnp.asarray(tol, dtype=dtype),
+                                max_iter=int(max_num_it))
     else:
         u = _lip_iterate_mc(g, u0, mask, gv,
                             jnp.asarray(alpha, dtype=dtype),
                             jnp.asarray(beta, dtype=dtype),
                             jnp.asarray(tol, dtype=dtype), int(max_num_it))
-    return dist.gather(u, n)
+    return dist.gather(u, n, op=g)
 
 
 def randomwalk_fit_sharded(dist: Distributor, W, F, alpha, tau,
@@ -570,21 +612,51 @@ def peikonal_fit_sharded(dist: Distributor, W, bdy_mask, f, p, tol,
     """Sharded class-batched p-eikonal Jacobi (reference ssl.py:1616-1678):
     mesh-padding rows enter as zero-valued boundary rows with speed 0, so
     the fixed point on real rows is unchanged.  Reuses the SAME jitted
-    ``_peikonal_jacobi_mc`` program over the row-sharded ELL graph (the
-    neighbor gather runs under GSPMD)."""
+    ``_peikonal_jacobi_mc`` program; through a banded operator its
+    per-round neighbor gather rides the single-hop halo exchange
+    (``ops.neighbor_take`` -> ``ShardedOp.neighbor_take_``) instead of a
+    GSPMD all-gather of all n rows (round-3 verdict item 2)."""
     from graphlearning_tpu.solvers.eikonal import _peikonal_jacobi_mc
 
-    g, n = dist.shard_graph(W)
+    g, n = dist.operator(W)
     dtype = dist.config.resolve_dtype()
     C = bdy_mask.shape[1]
-    bdy = dist.put_rows(np.asarray(bdy_mask, bool), fill=True)
-    fj = dist.put_rows(np.asarray(f, float), fill=0.0, dtype=dtype)
-    u0 = dist.put_rows(np.zeros((n, C)), dtype=dtype)
+    bdy = dist.put_rows(np.asarray(bdy_mask, bool), fill=True, op=g)
+    fj = dist.put_rows(np.asarray(f, float), fill=0.0, dtype=dtype, op=g)
+    u0 = dist.put_rows(np.zeros((n, C)), dtype=dtype, op=g)
     tol = max(float(tol), 100 * float(jnp.finfo(dtype).eps))
     u = _peikonal_jacobi_mc(
         g, u0, bdy, fj, jnp.asarray(tol, dtype=dtype), p=float(p),
         max_iter=int(max_num_it), num_bisection_it=int(num_bisection_it))
-    return dist.gather(u, n)
+    return dist.gather(u, n, op=g)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("hopf_lax", "recip", "max_iter"))
+def _bellman_ford_banded(op, d0, cp0, f, *, hopf_lax, recip, max_iter):
+    """Bellman-Ford relaxation riding the partitioned band's tropical
+    kernel + halo exchange (``ShardedOp.minplus_``): per round, one band
+    stream + one 2H-row ppermute pair + a small int gather for the
+    closest-point labels — no O(n) feature all-gather.  Same fixed point
+    as ``solvers.eikonal._bellman_ford``."""
+
+    def relax(state):
+        d, cp, err, it = state
+        m, a = op.minplus_(d, f, hopf_lax=hopf_lax, recip=recip)
+        upd = m < d
+        cp_cand = jnp.take(cp, jnp.clip(a, 0, None))
+        d_new = jnp.where(upd, m, d)
+        cp_new = jnp.where(upd & (a >= 0), cp_cand, cp)
+        err = jnp.max(jnp.where(upd, d - d_new, 0.0))
+        return d_new, cp_new, err, it + 1
+
+    def cond(state):
+        d, cp, err, it = state
+        return jnp.logical_and(err > 0, it < max_iter)
+
+    state = (d0, cp0, jnp.asarray(jnp.inf, d0.dtype), 0)
+    d, cp, _, _ = jax.lax.while_loop(cond, relax, state)
+    return d, cp
 
 
 def dijkstra_fit_sharded(dist: Distributor, W, bdy_set, bdy_val, f,
@@ -593,32 +665,47 @@ def dijkstra_fit_sharded(dist: Distributor, W, bdy_set, bdy_val, f,
     """Sharded Bellman-Ford graph distance (reference graph.py:1077-1175;
     ``hopf_lax=True`` gives the Hopf-Lax HJ variant, graph.py:916-997):
     padding rows start at +big with no valid neighbors, so they never
-    relax and never influence real rows."""
+    relax and never influence real rows.  Through a banded operator the
+    relaxation streams the partitioned band (``_bellman_ford_banded``,
+    round-3 verdict item 2); the GSPMD fallback reuses the single-chip
+    ``_bellman_ford`` program."""
     from graphlearning_tpu.solvers.eikonal import (_bellman_ford,
                                                    _boundary_handling)
 
-    g, n = dist.shard_graph(W)
+    g, n = dist.operator(W)
     dtype = dist.config.resolve_dtype()
     bdy_set, bdy_val_arr = _boundary_handling(bdy_set, bdy_val)
     if np.isscalar(f) or np.ndim(f) == 0:
         f = np.full((n,), float(f))
-    big = float(jnp.finfo(dtype).max)
+    banded = hasattr(g, "minplus_")
+    # banded kernels use the 1e30 'no-edge' sentinel (f32-safe); the
+    # gather path keeps the dtype max it always used
+    big = 1e30 if banded else float(jnp.finfo(dtype).max)
     d0 = np.full((n,), big)
     d0[bdy_set] = bdy_val_arr
     cp0 = np.full((n,), -1, np.int32)
     cp0[bdy_set] = bdy_set
-    d0 = dist.put_rows(d0, fill=big, dtype=dtype)
-    cp0 = dist.put_rows(cp0, fill=-1)
-    fj = dist.put_rows(np.asarray(f, float), fill=0.0, dtype=dtype)
-    if reciprocal_weights:
-        vals = jnp.where(g.mask(),
-                         1.0 / jnp.where(g.vals == 0, 1.0, g.vals), 0.0)
-        g = g.with_vals(vals)
-    d, cp = _bellman_ford(g, d0, cp0, fj, bool(hopf_lax), int(max_iter))
-    d = dist.gather(d, n).astype(float)
+    d0 = dist.put_rows(d0, fill=big, dtype=dtype, op=g)
+    cp0 = dist.put_rows(cp0, fill=-1, op=g)
+    fj = dist.put_rows(np.asarray(f, float), fill=0.0, dtype=dtype, op=g)
+    if banded:
+        d, cp = _bellman_ford_banded(g, d0, cp0, fj,
+                                     hopf_lax=bool(hopf_lax),
+                                     recip=bool(reciprocal_weights),
+                                     max_iter=int(max_iter))
+    else:
+        if reciprocal_weights:
+            vals = jnp.where(g.mask(),
+                             1.0 / jnp.where(g.vals == 0, 1.0, g.vals), 0.0)
+            g_run = g.with_vals(vals)
+        else:
+            g_run = g
+        d, cp = _bellman_ford(g_run, d0, cp0, fj, bool(hopf_lax),
+                              int(max_iter))
+    d = dist.gather(d, n, op=g).astype(float)
     d[d >= big * 0.5] = np.inf
     if return_cp:
-        return d, dist.gather(cp, n)
+        return d, dist.gather(cp, n, op=g)
     return d
 
 

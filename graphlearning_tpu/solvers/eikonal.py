@@ -33,6 +33,7 @@ import numpy as np
 
 from graphlearning_tpu import config
 from graphlearning_tpu.core.sparse import SparseGraph
+from graphlearning_tpu.ops import graphops as _gops
 
 
 def _boundary_handling(bdy_set, bdy_val):
@@ -343,7 +344,8 @@ def _peikonal_jacobi_mc(g: SparseGraph, u0, bdy_mask, f, tol,
     w3 = jnp.where(mask, w, 0.0)[:, :, None]
 
     def node_solve(u):
-        un = u[g.cols]                               # (n, k, C) one gather
+        # one gather per round (halo-exchange local take on a ShardedOp)
+        un = _gops.neighbor_take(g, u)               # (n, k, C)
         a = jnp.min(jnp.where(mask[:, :, None], un, big), axis=1) + inc[:, None]
         b = (jnp.max(jnp.where(mask[:, :, None], un, -big), axis=1)
              + inc[:, None])

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from graphlearning_tpu.core.sparse import SparseGraph
+from graphlearning_tpu.ops import graphops as _gops
 from graphlearning_tpu.solvers.eikonal import _boundary_handling
 
 
@@ -231,7 +232,7 @@ def _lip_iterate_mc(g: SparseGraph, u0, bdy_mask, gvals, alpha, beta, tol,
 
     def body(state):
         u, u_prev, err, it = state
-        un = u[g.cols]                               # (n, k, C)
+        un = _gops.neighbor_take(g, u)               # (n, k, C)
         sumu = jnp.sum(jnp.where(mask, w3 * un, 0.0), axis=1)
         minu = jnp.min(jnp.where(mask, un, big), axis=1)
         maxu = jnp.max(jnp.where(mask, un, -big), axis=1)
@@ -264,7 +265,7 @@ def _lip_iterate_weighted_mc(g: SparseGraph, u0, bdy_mask, gvals, tol,
 
     def body(state):
         u, u_prev, err, it = state
-        un = u[g.cols]                               # (n, k, C)
+        un = _gops.neighbor_take(g, u)               # (n, k, C)
         a = jnp.min(jnp.where(mask, un, big), axis=1)
         b = jnp.max(jnp.where(mask, un, -big), axis=1)
 

@@ -142,6 +142,33 @@ def projection_weights(scores, weights, priors, dt, *, similarity: bool,
     return w, err
 
 
+def poisson_mbo_round(heat_steps, state, priors, valid=None):
+    """ONE PoissonMBO outer round (heat diffusion + volume projection +
+    threshold) on a ``(u, w, err)`` state — the body of
+    :func:`poisson_mbo_loop`, exposed so the checkpointed runner
+    (``checkpoint.run_checkpointed``) can segment the T rounds across
+    host-side checkpoint saves (reference analogue:
+    mbo_convolution.cpp:1029-1161 outer iterations)."""
+    u, w, err = state
+    k = u.shape[1]
+    u = heat_steps(u)
+    if valid is not None:
+        u = jnp.where(valid[:, None], u, 0.0)
+        s = u - jnp.min(jnp.where(valid[:, None], u, jnp.inf))
+        s = jnp.where(valid[:, None], s, 0.0)
+    else:
+        s = u - jnp.min(u)
+    m = jnp.max(s)
+    s = jnp.where(m > 0, s / m, s)
+    w, err = projection_weights(s, w, priors, -0.1, similarity=True,
+                                valid=valid)
+    labels = jnp.argmax(s * w, axis=1)
+    oh = jax.nn.one_hot(labels, k, dtype=u.dtype)
+    if valid is not None:
+        oh = jnp.where(valid[:, None], oh, 0.0)
+    return oh, w, err
+
+
 def poisson_mbo_loop(heat_steps, u0, w0, priors, T: int, valid=None):
     """Traceable PoissonMBO outer loop (reference ``ssl.py:774-839``):
     T rounds of Ns-step heat diffusion (``heat_steps``, traceable
@@ -150,26 +177,9 @@ def poisson_mbo_loop(heat_steps, u0, w0, priors, T: int, valid=None):
     reference's ``self.weights`` attribute does across outer rounds).
     ``valid`` keeps mesh-padding rows at zero and out of the class sizes
     and score normalization (sharded execution)."""
-    k = u0.shape[1]
 
     def outer(i, state):
-        u, w, err = state
-        u = heat_steps(u)
-        if valid is not None:
-            u = jnp.where(valid[:, None], u, 0.0)
-            s = u - jnp.min(jnp.where(valid[:, None], u, jnp.inf))
-            s = jnp.where(valid[:, None], s, 0.0)
-        else:
-            s = u - jnp.min(u)
-        m = jnp.max(s)
-        s = jnp.where(m > 0, s / m, s)
-        w, err = projection_weights(s, w, priors, -0.1, similarity=True,
-                                    valid=valid)
-        labels = jnp.argmax(s * w, axis=1)
-        oh = jax.nn.one_hot(labels, k, dtype=u0.dtype)
-        if valid is not None:
-            oh = jnp.where(valid[:, None], oh, 0.0)
-        return oh, w, err
+        return poisson_mbo_round(heat_steps, state, priors, valid=valid)
 
     return jax.lax.fori_loop(
         0, T, outer, (u0, w0, jnp.asarray(1.0, u0.dtype)))
@@ -192,25 +202,37 @@ def mbo_loop(dual_conv, labels0, fixed_mask, fixed_labels, lower, upper,
         return jnp.logical_and(~stop, it < max_iters)
 
     def body(state):
-        labels, key, it, stop = state
-        a = dual_conv(labels)
-        key, sub = jax.random.split(key)
-        noise = jax.random.gumbel(sub, a.shape, dtype=a.dtype)
-        a = a + jnp.where(temp > 0,
-                          (temp / (it + 1.0)) * noise / n_true, 0.0)
-        new_labels = assign_labels(a, fixed_mask, fixed_labels, lower,
-                                   upper, max_price_it=max_price_it,
-                                   valid=valid)
-        new_labels = new_labels.astype(labels.dtype)
-        if valid is not None:
-            # mesh-padding rows never change (their zero affinities would
-            # track the drifting prices and defeat the stopping rule)
-            new_labels = jnp.where(valid, new_labels, labels)
-        changed = jnp.sum(new_labels != labels)
-        stop = jnp.logical_and(changed == 0,
-                               jnp.logical_or(temp == 0, it > 10))
-        return new_labels, key, it + 1, stop
+        return mbo_round(dual_conv, state, fixed_mask, fixed_labels,
+                         lower, upper, temp, n_true=n_true,
+                         max_price_it=max_price_it, valid=valid)
 
     state = (labels0, key, jnp.asarray(0, jnp.int32), jnp.asarray(False))
     labels, _, iters, _ = jax.lax.while_loop(cond, body, state)
     return labels, iters
+
+
+def mbo_round(dual_conv, state, fixed_mask, fixed_labels, lower, upper,
+              temp, n_true: int, max_price_it: int = 500, valid=None):
+    """ONE VolumeMBO fixed-point iteration on a ``(labels, key, it, stop)``
+    state — the body of :func:`mbo_loop`, exposed so the checkpointed
+    runner can segment the iterations across host-side saves (the PRNG key
+    threads through the state, so a resumed run replays the identical
+    annealing-noise sequence)."""
+    labels, key, it, stop = state
+    a = dual_conv(labels)
+    key, sub = jax.random.split(key)
+    noise = jax.random.gumbel(sub, a.shape, dtype=a.dtype)
+    a = a + jnp.where(temp > 0,
+                      (temp / (it + 1.0)) * noise / n_true, 0.0)
+    new_labels = assign_labels(a, fixed_mask, fixed_labels, lower,
+                               upper, max_price_it=max_price_it,
+                               valid=valid)
+    new_labels = new_labels.astype(labels.dtype)
+    if valid is not None:
+        # mesh-padding rows never change (their zero affinities would
+        # track the drifting prices and defeat the stopping rule)
+        new_labels = jnp.where(valid, new_labels, labels)
+    changed = jnp.sum(new_labels != labels)
+    stop = jnp.logical_and(changed == 0,
+                           jnp.logical_or(temp == 0, it > 10))
+    return new_labels, key, it + 1, stop

@@ -193,8 +193,11 @@ class ssl:
             return np.argmax(scores * w, axis=1)
         return np.argmin(scores * w, axis=1)
 
-    def fit_predict(self, train_ind, train_labels, all_labels=None):
-        self.fit(train_ind, train_labels, all_labels=all_labels)
+    def fit_predict(self, train_ind, train_labels, all_labels=None,
+                    checkpoint_path=None, checkpoint_every=1):
+        self.fit(train_ind, train_labels, all_labels=all_labels,
+                 checkpoint_path=checkpoint_path,
+                 checkpoint_every=checkpoint_every)
         return self.predict()
 
     def warmup(self, num_classes=2, num_labels=None, seed=0):
@@ -260,9 +263,25 @@ class ssl:
 
     # -- fitting (reference ssl.py:439-481) -------------------------------
 
-    def fit(self, train_ind, train_labels, all_labels=None):
+    def fit(self, train_ind, train_labels, all_labels=None,
+            checkpoint_path=None, checkpoint_every=1):
+        """Fit the model (reference ssl.py:439-481 semantics).
+
+        ``checkpoint_path``: opt-in solver-state checkpointing for models
+        with long outer loops (poisson_mbo, volume_mbo — the
+        mbo_convolution.cpp:1029-1161 analogues): the outer iteration
+        state is saved every ``checkpoint_every`` rounds via
+        :mod:`graphlearning_tpu.checkpoint`, and a killed fit re-run with
+        the same path RESUMES from the last checkpoint, producing the
+        identical prediction (the PRNG key and projection weights thread
+        through the checkpointed state).  Models without a segmented loop
+        ignore it.  The reference has no solver-state persistence
+        (SURVEY.md §5 checkpoint row)."""
         if self.graph is None:
             sys.exit("SSL object has no graph. Use set_graph().")
+        self._ckpt = ((os.path.abspath(checkpoint_path),
+                       int(checkpoint_every))
+                      if checkpoint_path else None)
         train_ind = np.asarray(train_ind)
         train_labels = np.asarray(train_labels)
         self.fitted = True
@@ -301,34 +320,49 @@ class ssl:
         return fname + "_accuracy.csv"
 
     def ssl_trials(self, trainsets, labels, num_cores=1, tag="",
-                   save_results=True, overwrite=False, num_trials=-1):
+                   save_results=True, overwrite=False, num_trials=-1,
+                   resume=False):
         """Multi-trial benchmark runner (reference ``ssl.py:292-396``).
         The reference forks joblib processes; here same-size trials are
         grouped and solved in ONE device program via the model's
         vmap-batched fit (``fit_predict_batched``), with a sequential
-        fallback for models without a batched path."""
+        fallback for models without a batched path.
+
+        ``resume=True``: a killed sweep continues — completed trials are
+        counted from the existing results CSV and skipped, new rows
+        append.  (The reference can only abort-or-overwrite whole files,
+        ssl.py:333-335.)  Returns the rows computed THIS call."""
         labels = np.asarray(labels)
         has_priors = self.class_priors is not None
+        done_rows = 0
         if save_results:
             os.makedirs(results_dir, exist_ok=True)
             outfile = os.path.join(results_dir, tag + self.get_accuracy_filename())
-            if os.path.exists(outfile) and not overwrite:
+            exists = os.path.exists(outfile)
+            if exists and resume:
+                with open(outfile) as fh:
+                    done_rows = max(0, sum(1 for _ in fh) - 1)  # - header
+            elif exists and not overwrite:
                 print(f"Results file {outfile} exists; aborting (overwrite=False)")
                 return None
-            with open(outfile, "w") as fh:
-                # reference header (ssl.py:339-342): priors models record the
-                # dual accuracy (without/with priors) + the priors error
-                if has_priors:
-                    fh.write("Number of labels,Accuracy,"
-                             "Accuracy with class priors,Class priors error\n")
-                else:
-                    fh.write("Number of labels,Accuracy\n")
+            if done_rows == 0:
+                with open(outfile, "w") as fh:
+                    # reference header (ssl.py:339-342): priors models
+                    # record the dual accuracy (without/with priors) + the
+                    # priors error
+                    if has_priors:
+                        fh.write("Number of labels,Accuracy,"
+                                 "Accuracy with class priors,Class priors error\n")
+                    else:
+                        fh.write("Number of labels,Accuracy\n")
         else:
             outfile = None
 
         if num_trials > 0:
             trainsets = trainsets[:num_trials]
-        trainsets = [np.asarray(t) for t in trainsets]
+        trainsets = [np.asarray(t) for t in trainsets[done_rows:]]
+        if not trainsets:
+            return np.zeros((0, 4 if has_priors else 2))
 
         if has_priors:
             # priors path (reference ssl.py:366-389): per-trial fit, then
@@ -932,6 +966,44 @@ class poisson_mbo(ssl):
             deg_p = acc.to_perm(deg)
             Db_p = acc.to_perm(Db)
 
+        ck = getattr(self, "_ckpt", None)
+        if ck is not None and all_labels is None:
+            # checkpointed outer loop (SURVEY.md §5 checkpoint row; the
+            # reference's closest analogue pickles whole graphs,
+            # graph.py:1335-1368): one jitted round per outer iteration,
+            # state (u, w, err) saved every `checkpoint_every` rounds —
+            # a killed fit re-run with the same path resumes and yields
+            # the identical prediction (deterministic round program)
+            from graphlearning_tpu import checkpoint as _checkpoint
+            from graphlearning_tpu.solvers import volume as _volume
+
+            path, every = ck
+            if acc is not None:
+                def heat_steps_t(uu):
+                    return acc.from_perm(
+                        acc.heat_steps(deg_p, acc.to_perm(uu), Db_p, dt,
+                                       Ns))
+            else:
+                deg_c = jnp.asarray(deg, dtype=dtype)
+                dt_c = jnp.asarray(dt, dtype=dtype)
+
+                def heat_steps_t(uu):
+                    def bodyh(j, uu):
+                        Lu = deg_c[:, None] * uu - _ops.spmm(g, uu)
+                        return uu - dt_c * Lu + Db
+
+                    return jax.lax.fori_loop(0, Ns, bodyh, uu)
+
+            round_jit = jax.jit(lambda st: _volume.poisson_mbo_round(
+                heat_steps_t, st, priors))
+            state0 = (jnp.asarray(u, dtype=dtype), w0,
+                      jnp.asarray(1.0, dtype))
+            (uj, w, err), _ = _checkpoint.run_checkpointed(
+                round_jit, state0, self.T, path, every=every)
+            self.weights = np.asarray(w, dtype=float)
+            self.class_priors_error = float(err)
+            return np.asarray(uj)
+
         if all_labels is None:
             # fused outer loop: T x (Ns heat steps + volume projection +
             # threshold) as ONE device program (the per-outer eager loop
@@ -1120,6 +1192,39 @@ class volume_mbo(ssl):
             labels = np.array(out)
             labels[train_ind] = train_labels
             return utils.labels_to_onehot(labels, k)
+        ck = getattr(self, "_ckpt", None)
+        if ck is not None and all_labels is None:
+            # checkpointed MBO fixed point (SURVEY.md §5 checkpoint row):
+            # one jitted round per iteration, (labels, key, it, stop)
+            # saved every `checkpoint_every` rounds; the PRNG key threads
+            # through the state so a killed fit resumed from the same
+            # path replays the identical annealing-noise sequence and
+            # yields the identical prediction.  The round is cond-gated
+            # on the stop flag so overshoot segments are no-ops.
+            from graphlearning_tpu import checkpoint as _checkpoint
+            from graphlearning_tpu.solvers import volume as _volume
+
+            path, every = ck
+            temp_j = jnp.asarray(temp, dtype=dtype)
+
+            @jax.jit
+            def _round(st):
+                return jax.lax.cond(
+                    st[3], lambda s: s,
+                    lambda s: _volume.mbo_round(
+                        dual_conv, s, fixed_mask_j, fixed_labels_j,
+                        lower, upper, temp_j, n_true=n), st)
+
+            state0 = (jnp.asarray(labels, jnp.int32), key,
+                      jnp.asarray(0, jnp.int32), jnp.asarray(False))
+            (out, _, _, _), _ = _checkpoint.run_checkpointed_while(
+                _round, state0,
+                done_fn=lambda st: bool(np.asarray(st[3])),
+                max_steps=self.max_iters, path=path, every=every)
+            labels = np.array(out)
+            labels[train_ind] = train_labels
+            return utils.labels_to_onehot(labels, k)
+
         if all_labels is None:
             # fused fixed point: the whole MBO loop is ONE device program
             # (per-iteration eager dispatch through the TPU tunnel costs

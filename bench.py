@@ -35,6 +35,7 @@ def main():
     d = int(os.environ.get("GLT_BENCH_D", 128))
     iters = int(os.environ.get("GLT_BENCH_ITERS", 50))
     use_pallas = os.environ.get("GLT_BENCH_PALLAS", "1") != "0"
+    geom = os.environ.get("GLT_BENCH_GEOM", "2d")
 
     import jax
     import jax.numpy as jnp
@@ -44,19 +45,41 @@ def main():
     from graphlearning_tpu.core.sparse import SparseGraph
     from graphlearning_tpu.ops import graphops as ops
 
-    # realistic kNN graph: 2-D points, exact kNN, gaussian weights, RCM
     rs = np.random.RandomState(0)
-    pts = rs.rand(n, 2)
-    tree = cKDTree(pts)
-    dist, ind = tree.query(pts, k=k + 1)
-    dist, ind = dist[:, 1:], ind[:, 1:]
-    eps = np.maximum(dist[:, -1:] ** 2, 1e-12)
-    w = np.exp(-4 * dist**2 / eps).astype(np.float64)
-    rows = np.repeat(np.arange(n, dtype=np.int64), k)
-    W = sp.csr_matrix((w.ravel(), (rows, ind.ravel())), shape=(n, n))
-    W = (W + W.T) / 2
-    perm = np.asarray(reverse_cuthill_mckee(W, symmetric_mode=True))
-    W = W[perm, :][:, perm].tocsr()
+    if geom == "highdim":
+        # band-hostile geometry: the 30-d Gaussian-mixture kNN surrogate
+        # the MODEL benchmarks run on (BASELINE_MEASURED configs 2-5).
+        # RCM p95 bandwidth ~ n/2 here — no band family applies
+        # (round-3 verdict item 1); kNN built on device (30-d kdtree on
+        # host is infeasible at this n)
+        dim = int(os.environ.get("GLT_BENCH_DIM", 30))
+        cachef = f"/tmp/highdim_graph_n{n}_k{k}_d{dim}.npz"
+        if os.path.exists(cachef):
+            W = sp.load_npz(cachef)
+        else:
+            import graphlearning_tpu as gl
+
+            centers = rs.randn(10, dim) * 1.0
+            labels = rs.randint(0, 10, n)
+            ptsh = (centers[labels] + rs.randn(n, dim)).astype(np.float32)
+            W = gl.weightmatrix.knn(ptsh, k).tocsr()
+            sp.save_npz(cachef, W)
+        W = sp.csr_matrix(W)
+        use_pallas = False
+    else:
+        # band-friendly geometry: 2-D points, exact kNN, gaussian
+        # weights, RCM (the packed-slab band kernel's design point)
+        pts = rs.rand(n, 2)
+        tree = cKDTree(pts)
+        dist, ind = tree.query(pts, k=k + 1)
+        dist, ind = dist[:, 1:], ind[:, 1:]
+        eps = np.maximum(dist[:, -1:] ** 2, 1e-12)
+        w = np.exp(-4 * dist**2 / eps).astype(np.float64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), k)
+        W = sp.csr_matrix((w.ravel(), (rows, ind.ravel())), shape=(n, n))
+        W = (W + W.T) / 2
+        perm = np.asarray(reverse_cuthill_mckee(W, symmetric_mode=True))
+        W = W[perm, :][:, perm].tocsr()
     # row-stochastic scaling keeps chained iterates bounded (no f32 overflow)
     W = sp.diags(1.0 / np.asarray(W.sum(1)).ravel()) @ W
     W = W.tocsr()

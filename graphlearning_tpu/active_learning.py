@@ -17,11 +17,23 @@ from scipy.special import softmax
 
 class active_learner:
     """Query-selection loop (reference ``active_learning.py:56-117``).
-    Every ``update`` refits the SSL model from scratch (matching reference
-    semantics — no warm start)."""
 
-    def __init__(self, model, acq_function, labeled_ind, labels, policy="max", **kwargs):
+    ``warm_start=False`` matches the reference exactly: every ``update``
+    refits the SSL model from scratch.  ``warm_start=True`` seeds each
+    refit's iterative solver with the previous round's solution (the
+    models that support it — laplace, poisson CG, incl. their sharded
+    paths — converge to the same solution in far fewer iterations; the
+    reference has no warm start, active_learning.py:108-117).
+
+    Distributed models work transparently: a ``model.distribute(mesh)``
+    model refits sharded on every query round, and
+    :func:`spectral_covariance` builds the acquisition covariance from
+    the sharded eigensolver."""
+
+    def __init__(self, model, acq_function, labeled_ind, labels,
+                 policy="max", warm_start=False, **kwargs):
         self.model = model
+        self.warm_start = bool(warm_start)
         self.labeled_ind = np.asarray(labeled_ind).copy()
         self.labels = np.asarray(labels).copy()
         self.acq_function = acq_function(**kwargs) if isinstance(acq_function, type) else acq_function
@@ -75,9 +87,46 @@ class active_learner:
             self.printed_warning = True
         self.labeled_ind = np.append(self.labeled_ind, query_ind)
         self.labels = np.append(self.labels, query_labels)
-        self.u = self.model.fit(self.labeled_ind, self.labels)
+        if self.warm_start:
+            self.model._warm_u = np.asarray(self.u)
+        try:
+            self.u = self.model.fit(self.labeled_ind, self.labels)
+        finally:
+            self.model._warm_u = None
         self.unlabeled_ind = np.setdiff1d(self.all_inds, self.labeled_ind)
         self.acq_function.update(query_ind, query_labels)
+
+
+def spectral_covariance(model_or_graph, k=20, tau=0.11,
+                        normalization="normalized"):
+    """Build the spectral-truncated covariance ``(C0, V)`` the
+    covariance acquisitions consume (reference pattern,
+    active_learning.py:237-317: ``C0 = diag(1/(lambda + tau))`` over the
+    low-lying eigenpairs): ``var_opt(*spectral_covariance(model))``.
+
+    Accepts an SSL model, a ``graph``, or a weight matrix.  A
+    DISTRIBUTED model (``model.distribute(mesh)``) routes through the
+    sharded eigensolver (``parallel.execute.eigen_decomp_sharded``), so
+    the whole active-learning loop — acquisitions and refits — runs on
+    the mesh."""
+    from graphlearning_tpu import graph as _graph
+
+    dist = getattr(model_or_graph, "_dist", None)
+    if dist is not None:
+        from graphlearning_tpu.parallel import execute as _exec
+
+        W = model_or_graph.graph.weight_matrix
+        vals, vecs = _exec.eigen_decomp_sharded(
+            _exec.Distributor(dist), W, normalization=normalization, k=k)
+    else:
+        G = model_or_graph
+        if hasattr(G, "graph"):           # SSL model
+            G = G.graph
+        if not isinstance(G, _graph):     # weight matrix
+            G = _graph(G)
+        vals, vecs = G.eigen_decomp(normalization=normalization, k=k)
+    C0 = np.diag(1.0 / (np.asarray(vals) + tau))
+    return C0, np.asarray(vecs)
 
 
 class acquisition_function:

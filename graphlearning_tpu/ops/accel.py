@@ -374,22 +374,24 @@ class AccelSpMM:
         return dict(Wwin=self.Wwin, R=self.R, WT=self.WT, kcap=self.kcap,
                     mode=self.mode, interpret=self.interpret, **extra)
 
-    def cg_scaled(self, s_p, b, c0=1.0, c1=1.0, tol=1e-10, max_iter=10**5):
+    def cg_scaled(self, s_p, b, c0=1.0, c1=1.0, tol=1e-10, max_iter=10**5,
+                  x0=None):
         """CG solve of ``(c0 I - c1 diag(s) Wp diag(s)) x = b`` in permuted
-        space (jit-cached across fits)."""
+        space (jit-cached across fits).  ``x0``: warm start."""
         band = self.band() if self.materialize else None
         return _cg_scaled_accel(
             self.g, band, self._resid, *self._plan_dev, s_p, b, c0, c1, tol,
-            **self._statics(max_iter=int(max_iter)))
+            x0, **self._statics(max_iter=int(max_iter)))
 
     def laplace_constrained(self, deg_p, diag_p, tau_p, mask_p, bdy_p, tol,
                             normalization="combinatorial", order=1,
-                            max_iter=10**5):
-        """Masked CG Laplace solve in permuted space (jit-cached)."""
+                            max_iter=10**5, u0_p=None):
+        """Masked CG Laplace solve in permuted space (jit-cached).
+        ``u0_p``: permuted-space warm start (active-learning refits)."""
         band = self.band() if self.materialize else None
         return _laplace_constrained_accel(
             self.g, band, self._resid, *self._plan_dev, deg_p, diag_p,
-            tau_p, mask_p, bdy_p, tol, normalization=normalization,
+            tau_p, mask_p, bdy_p, tol, u0_p, normalization=normalization,
             order=int(order), **self._statics(max_iter=int(max_iter)))
 
     def heat_steps(self, deg_p, u_p, Db_p, dt, Ns: int):
@@ -659,7 +661,7 @@ def _make_spmm(gp, band, resid, winstart, rrows, rslots, Wwin, R, WT, kcap,
 
 @functools.partial(jax.jit, static_argnames=_STATICS)
 def _cg_scaled_accel(gp, band, resid, winstart, rrows, rslots, s_p, b, c0,
-                     c1, tol, *, Wwin, R, WT, kcap, mode, interpret,
+                     c1, tol, x0=None, *, Wwin, R, WT, kcap, mode, interpret,
                      max_iter):
     from graphlearning_tpu.solvers import cg as _cg
 
@@ -670,14 +672,15 @@ def _cg_scaled_accel(gp, band, resid, winstart, rrows, rslots, s_p, b, c0,
         y = spmm(s_p[:, None] * X)
         return c0 * X - c1 * s_p[:, None] * y
 
-    x, _, _ = _cg.conjgrad(A, b, tol=tol, max_iter=max_iter)
+    x, _, _ = _cg.conjgrad(A, b, x0=x0, tol=tol, max_iter=max_iter)
     return x
 
 
 @functools.partial(jax.jit,
                    static_argnames=("normalization", "order") + _STATICS)
 def _laplace_constrained_accel(gp, band, resid, winstart, rrows, rslots,
-                               deg_p, diag_p, tau_p, mask_p, bdy_p, tol, *,
+                               deg_p, diag_p, tau_p, mask_p, bdy_p, tol,
+                               u0_p=None, *,
                                normalization, order, Wwin, R, WT, kcap, mode,
                                interpret, max_iter):
     from graphlearning_tpu.solvers import cg as _cg
@@ -704,7 +707,7 @@ def _laplace_constrained_accel(gp, band, resid, winstart, rrows, rslots,
 
     Ldiag = (tau_p + diag_p) ** order
     u, _, _ = _cg.constrained_solve(L, Ldiag, mask_p, bdy_p, tol=tol,
-                                    max_iter=max_iter)
+                                    max_iter=max_iter, u0=u0_p)
     return u
 
 
@@ -1231,17 +1234,54 @@ def maybe_build(W, cache_obj=None, attr="_accel_cache", d_pad=128, **kw):
         except Exception:    # W type refuses attributes — skip
             pass
 
+    def _keep(value):
+        if cache_obj is not None:
+            setattr(cache_obj, attr, value)
+        _gcache_put(value)
+        return None if isinstance(value, _Disabled) else value
+
+    def _gather_fallback():
+        """Band family rejected: the degree-sorted segmented gather
+        (ops.gather.GatherAccel) is the fast path for band-hostile
+        graphs — measured 12x over the full-ELL fallback at the 30-d
+        surrogate's hub degrees (scripts/dispatch_calib.py)."""
+        if os.environ.get("GLT_NO_GATHER"):
+            return _keep(_Disabled(n, int(W.nnz)))
+        try:
+            from graphlearning_tpu.ops.gather import GatherAccel
+
+            prec = "f32" if kw.get("exact", True) else "auto"
+            return _keep(GatherAccel(W, prec=prec))
+        except Exception:  # pragma: no cover — plain XLA path
+            return _keep(_Disabled(n, int(W.nnz)))
+
+    if _band_hostile(W):
+        return _gather_fallback()
     try:
         acc = AccelSpMM(W, **kw)
-    except Exception:  # pragma: no cover — fall back to the XLA path
-        return None
+    except Exception:  # pragma: no cover — fall back to the gather path
+        return _gather_fallback()
     gather_est = W.nnz * _GATHER_NS
     if _hybrid_estimate(acc, d_pad) > 0.7 * gather_est:
-        if cache_obj is not None:
-            setattr(cache_obj, attr, _Disabled(n, int(W.nnz)))
-        _gcache_put(_Disabled(n, int(W.nnz)))
-        return None
-    if cache_obj is not None:
-        setattr(cache_obj, attr, acc)
-    _gcache_put(acc)
-    return acc
+        return _gather_fallback()
+    return _keep(acc)
+
+
+def _band_hostile(W) -> bool:
+    """Cheap band-hostility pre-gate: one RCM pass + a bandwidth
+    percentile.  When the p95 RCM bandwidth exceeds n/4, no band-family
+    window can reach viable occupancy (the cluster reordering shrinks
+    bandwidth only ~5x on such graphs — measured p95 ~ n/2 on the 30-d
+    kNN surrogate), so skip the expensive plan/tiles/materialize build
+    (measured 79 s at n=262k only for the cost gate to reject it)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    Wc = sp.csr_matrix(W)
+    n = Wc.shape[0]
+    perm = np.asarray(reverse_cuthill_mckee(Wc, symmetric_mode=True))
+    inv = np.argsort(perm)
+    deg = np.diff(Wc.indptr)
+    I = np.repeat(np.arange(n, dtype=np.int64), deg)
+    bw = np.abs(inv[I] - inv[Wc.indices])
+    return float(np.percentile(bw, 95)) > n / 4

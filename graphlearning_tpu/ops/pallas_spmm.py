@@ -818,12 +818,18 @@ def _tiles_minplus_kernel(tb_ref, ts_ref, bf_ref, band_ref, df_ref, out_ref,
 def band_tiles_minplus(band, tile_block, tile_start, block_first, d, f,
                        n: int, R: int = 512, WT: int = 512,
                        hopf_lax: bool = False, track_arg: bool = False,
-                       recip: bool = False, interpret: bool = False):
+                       recip: bool = False, interpret: bool = False,
+                       ncols: int | None = None):
     """One min-plus relaxation round over the compact tiled band (see
-    :func:`band_minplus` for the output convention)."""
+    :func:`band_minplus` for the output convention).  ``ncols``: length
+    of the window/column space ``d``/``f`` live in when it differs from
+    the row count ``n`` (the sharded partition's halo-extended local
+    buffer, ``parallel.band_shard.ShardedOp.minplus_``)."""
     G = tile_block.shape[0]
-    assert n % R == 0 and n % WT == 0, (n, R, WT)
-    df = jnp.zeros((8, n), jnp.float32).at[0].set(d).at[1].set(f)
+    ncols = n if ncols is None else ncols
+    assert n % R == 0 and ncols % WT == 0, (n, R, WT, ncols)
+    assert d.shape == (ncols,) and f.shape == (ncols,), (d.shape, ncols)
+    df = jnp.zeros((8, ncols), jnp.float32).at[0].set(d).at[1].set(f)
     kernel = functools.partial(_tiles_minplus_kernel, WT=WT,
                                hopf_lax=hopf_lax, track_arg=track_arg,
                                recip=recip)
@@ -889,14 +895,16 @@ def _tiles_lip_kernel(tb_ref, ts_ref, bf_ref, band_ref, u_ref, out_ref,
 
 def band_tiles_lip(band, tile_block, tile_start, block_first, U, n: int,
                    C: int, R: int = 512, WT: int = 512,
-                   interpret: bool = False):
+                   interpret: bool = False, ncols: int | None = None):
     """One pass of the lip-iteration reductions over the compact tiled
-    band.  ``U``: (n, 128) class columns (first C valid).  Returns
-    (n, 384): ``[:, :128]`` = w-weighted neighbor sums, ``[:, 128:256]`` =
-    neighbor min (3e38 where none in-band), ``[:, 256:384]`` = neighbor
-    max (-3e38 where none)."""
+    band.  ``U``: (ncols, 128) class columns (first C valid; ``ncols``
+    defaults to ``n`` and differs only for the sharded halo-extended
+    window space).  Returns (n, 384): ``[:, :128]`` = w-weighted neighbor
+    sums, ``[:, 128:256]`` = neighbor min (3e38 where none in-band),
+    ``[:, 256:384]`` = neighbor max (-3e38 where none)."""
     G = tile_block.shape[0]
-    assert n % R == 0 and n % WT == 0 and U.shape == (n, 128)
+    ncols = n if ncols is None else ncols
+    assert n % R == 0 and ncols % WT == 0 and U.shape == (ncols, 128)
     kernel = functools.partial(_tiles_lip_kernel, C=C)
     return pl.pallas_call(
         kernel,

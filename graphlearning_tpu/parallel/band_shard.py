@@ -464,7 +464,8 @@ class ShardedOp:
                 out = band_tiles_minplus(
                     band, tb, ts, bf, dl.astype(jnp.float32),
                     fl.astype(jnp.float32), n=B, R=R, WT=WT,
-                    hopf_lax=hopf_lax, track_arg=True, recip=recip)
+                    hopf_lax=hopf_lax, track_arg=True, recip=recip,
+                    ncols=B + 2 * H)
                 m = out[:, 0].astype(dl.dtype)
                 a = out[:, 1].astype(jnp.int32)
             aglob = jnp.where(m >= _MP_BIG * 0.5, -1,
@@ -519,7 +520,7 @@ class ShardedOp:
                 U128 = jnp.pad(Ul.astype(jnp.float32),
                                ((0, 0), (0, 128 - C)))
                 out = band_tiles_lip(band, tb, ts, bf, U128, n=B, C=C,
-                                     R=R, WT=WT)
+                                     R=R, WT=WT, ncols=B + 2 * H)
                 s = out[:, :C].astype(Ul.dtype)
                 mn = out[:, 128:128 + C].astype(Ul.dtype)
                 mx = out[:, 256:256 + C].astype(Ul.dtype)

@@ -353,11 +353,12 @@ def _volume_mbo_sharded(g, deg, labels0, fixed_mask, fixed_labels, lower,
 
 
 def laplace_fit_sharded(dist: Distributor, W, train_mask, bdy_values, tau,
-                        tol, normalization, order, max_iter=10**5):
+                        tol, normalization, order, max_iter=10**5,
+                        u0=None):
     """Sharded Laplace learning solve (reference ssl.py:1106-1261):
     mesh-padding rows enter as zero-value boundary rows, which the masked
     CG treats as decoupled identity rows — the solve on real rows is
-    unchanged."""
+    unchanged.  ``u0``: warm start (sharded active-learning refits)."""
     from graphlearning_tpu import ssl as _ssl
 
     g, n = dist.operator(W)
@@ -367,17 +368,21 @@ def laplace_fit_sharded(dist: Distributor, W, train_mask, bdy_values, tau,
     bdy = dist.put_rows(bdy_values, dtype=dtype, op=g)
     tau_j = dist.put_rows(np.broadcast_to(np.atleast_1d(tau), (n,)),
                           dtype=dtype, op=g)
+    if u0 is not None:
+        u0 = dist.put_rows(np.asarray(u0), dtype=dtype, op=g)
     u = _ssl._laplace_constrained(g, tau_j, mask, bdy, tol,
                                   normalization=normalization,
-                                  order=int(order), max_iter=int(max_iter))
+                                  order=int(order), max_iter=int(max_iter),
+                                  u0=u0)
     return dist.gather(u, n, op=g)
 
 
 def poisson_cg_fit_sharded(dist: Distributor, W, source, tol,
-                           max_iter=10**5):
+                           max_iter=10**5, u0=None):
     """Sharded Poisson learning (conjugate_gradient solver, reference
     ssl.py:624-629): normalized-Laplacian CG with guarded D^{+-1/2}
-    conjugation (padding rows act as identity with zero rhs)."""
+    conjugation (padding rows act as identity with zero rhs).
+    ``u0``: warm start in original (un-conjugated) space."""
     from graphlearning_tpu import ssl as _ssl
 
     g, n = dist.operator(W)
@@ -385,7 +390,11 @@ def poisson_cg_fit_sharded(dist: Distributor, W, source, tol,
     b = dist.put_rows(source, dtype=dtype, op=g)
     deg = _ops.degree_vector(g)
     s = safe_inv_sqrt_deg(deg)
-    v = _ssl._cg_scaled_solve(g, s, s[:, None] * b, 1.0, 1.0, tol)
+    x0 = None
+    if u0 is not None:
+        x0 = dist.put_rows(np.asarray(u0), dtype=dtype, op=g) \
+            * jnp.sqrt(jnp.maximum(deg, 0.0)).astype(dtype)[:, None]
+    v = _ssl._cg_scaled_solve(g, s, s[:, None] * b, 1.0, 1.0, tol, x0=x0)
     v = _ssl._project_out_nlap_kernel(v, deg.astype(v.dtype))
     return dist.gather(s[:, None] * v, n, op=g)
 

@@ -96,6 +96,7 @@ def constrained_solve(
     f=None,
     max_iter: int = 1000,
     tol: float = 1e-10,
+    u0=None,
 ):
     """Solve ``L u = f`` subject to ``u = bdy_values`` on ``bdy_mask``
     (reference ``utils.py:321-384``), via masked Jacobi-preconditioned CG.
@@ -106,6 +107,10 @@ def constrained_solve(
       bdy_mask: (n,) bool — True at constrained (labeled) nodes.
       bdy_values: (n, m) — values on the boundary (rows off the mask ignored).
       f: optional (n, m) right-hand side on interior nodes.
+      u0: optional (n, m) warm start (e.g. the previous active-learning
+        round's solution, reference has none — active_learning.py:108-117
+        refits cold); only its interior rows seed the CG iterate, so the
+        solution is unchanged, just reached in fewer iterations.
     """
     bdy_values = jnp.asarray(bdy_values)
     was_1d = bdy_values.ndim == 1
@@ -134,7 +139,13 @@ def constrained_solve(
     def M(r):
         return inv_diag[:, None] * r
 
-    x, iters, res = conjgrad(A, rhs, max_iter=max_iter, tol=tol, M=M)
+    x0 = None
+    if u0 is not None:
+        u0 = jnp.asarray(u0)
+        if u0.ndim == 1:
+            u0 = u0[:, None]
+        x0 = jnp.where(interior[:, None], u0, 0.0)
+    x, iters, res = conjgrad(A, rhs, x0=x0, max_iter=max_iter, tol=tol, M=M)
     u = g_ext + jnp.where(interior[:, None], x, 0.0)
     if was_1d:
         u = u[:, 0]

@@ -33,13 +33,14 @@ import functools
 # instead of retracing a fresh closure every call.
 
 @functools.partial(jax.jit, static_argnames=("max_iter",))
-def _cg_scaled_solve(g, s, b, c0, c1, tol, max_iter=10**5):
-    """CG solve of ``(c0 I - c1 diag(s) W diag(s)) x = b``."""
+def _cg_scaled_solve(g, s, b, c0, c1, tol, max_iter=10**5, x0=None):
+    """CG solve of ``(c0 I - c1 diag(s) W diag(s)) x = b``.  ``x0``: warm
+    start (active-learning refits; same solution, fewer iterations)."""
 
     def A(X):
         return c0 * X - c1 * s[:, None] * _ops.spmm(g, s[:, None] * X)
 
-    x, _, _ = _cg.conjgrad(A, b, tol=tol, max_iter=max_iter)
+    x, _, _ = _cg.conjgrad(A, b, x0=x0, tol=tol, max_iter=max_iter)
     return x
 
 
@@ -64,8 +65,9 @@ def _project_out_nlap_kernel(v, deg):
 @functools.partial(jax.jit,
                    static_argnames=("normalization", "order", "max_iter"))
 def _laplace_constrained(g, tau, mask, bdy, tol, normalization="combinatorial",
-                         order=1, max_iter=10**5):
-    """Masked CG solve of ``(tau + L)^order u = 0`` with ``u=bdy`` on mask."""
+                         order=1, max_iter=10**5, u0=None):
+    """Masked CG solve of ``(tau + L)^order u = 0`` with ``u=bdy`` on mask.
+    ``u0``: warm start (active-learning refits)."""
     deg = _ops.degree_vector(g)
 
     def L(X):
@@ -78,7 +80,7 @@ def _laplace_constrained(g, tau, mask, bdy, tol, normalization="combinatorial",
     diag = _ops.laplacian_diag(g, normalization=normalization, deg=deg)
     Ldiag = (tau + diag) ** order
     u, _, _ = _cg.constrained_solve(L, Ldiag, mask, bdy, tol=tol,
-                                    max_iter=max_iter)
+                                    max_iter=max_iter, u0=u0)
     return u
 
 results_dir = os.path.abspath(os.path.join(os.getcwd(), "results"))
@@ -562,13 +564,23 @@ class laplace(ssl):
         tau_j = jnp.asarray(tau, dtype=config.float_dtype())
         order = self.order
 
+        # active-learning warm start (active_learner(warm_start=True)):
+        # the previous round's solution seeds the CG iterate — same
+        # solution, far fewer iterations (the reference refits cold,
+        # active_learning.py:108-117)
+        warm = getattr(self, "_warm_u", None)
+        u0 = None
+        if warm is not None and np.shape(warm) == (n, k):
+            u0 = jnp.asarray(warm, dtype=config.float_dtype())
+
         dist = getattr(self, "_dist", None)
         if dist is not None:
             from graphlearning_tpu.parallel import execute as _exec
 
             u = _exec.laplace_fit_sharded(
                 dist, G.weight_matrix, mask, bdy_values, tau, self.tol,
-                self.normalization, order)
+                self.normalization, order,
+                u0=None if u0 is None else np.asarray(u0))
             if self.mean_shift:
                 u = u - np.mean(u, axis=0)
             return u
@@ -607,12 +619,13 @@ class laplace(ssl):
                 deg_p, diag_p, acc.to_perm(tau_j),
                 acc.to_perm(jnp.asarray(mask, dtype=jnp.int32)) > 0,
                 acc.to_perm(bdy_j), self.tol,
-                normalization=self.normalization, order=order)
+                normalization=self.normalization, order=order,
+                u0_p=None if u0 is None else acc.to_perm(u0))
             u = acc.from_perm(u)
         else:
             u = _laplace_constrained(
                 G.sparse, tau_j, jnp.asarray(mask), bdy_j, self.tol,
-                normalization=self.normalization, order=order)
+                normalization=self.normalization, order=order, u0=u0)
         u = np.asarray(u)
         if self.mean_shift:
             u = u - np.mean(u, axis=0)
@@ -752,8 +765,11 @@ class poisson(ssl):
             from graphlearning_tpu.parallel import execute as _exec
 
             if self.solver == "conjugate_gradient":
+                warm = getattr(self, "_warm_u", None)
+                if warm is not None and np.shape(warm) != (n, k):
+                    warm = None
                 return _exec.poisson_cg_fit_sharded(dist, W, source,
-                                                    self.tol)
+                                                    self.tol, u0=warm)
             return _exec.poisson_gd_fit_sharded(dist, W, source, train_ind,
                                                 self.min_iter, self.max_iter)
 
@@ -761,6 +777,14 @@ class poisson(ssl):
 
         if self.solver == "conjugate_gradient":
             s = 1.0 / jnp.sqrt(deg)
+            # active-learning warm start: previous solution u = s*v seeds
+            # the conjugated iterate v0 = u/s (reference refits cold,
+            # active_learning.py:108-117)
+            warm = getattr(self, "_warm_u", None)
+            x0 = None
+            if warm is not None and np.shape(warm) == (n, b.shape[1]):
+                x0 = jnp.asarray(warm, dtype=config.float_dtype()) \
+                    * jnp.sqrt(deg)[:, None]
             # bf16x3 SpMM (~1e-5 operator error) is safe whenever the CG
             # tolerance is loose enough; exact f32 otherwise
             acc = _accel.maybe_build(W, cache_obj=self,
@@ -770,14 +794,15 @@ class poisson(ssl):
                 # (padding rows have s=0 → identity rows with zero rhs)
                 s_p = acc.to_perm(s)
                 v = acc.cg_scaled(s_p, s_p[:, None] * acc.to_perm(b),
-                                  tol=self.tol)
+                                  tol=self.tol,
+                                  x0=None if x0 is None else acc.to_perm(x0))
                 deg_p = jnp.where(s_p > 0, 1.0 / jnp.where(
                     s_p == 0, 1.0, s_p) ** 2, 0.0)
                 v = _project_out_nlap_kernel(v, deg_p)
                 u = acc.from_perm(s_p[:, None] * v)
             else:
                 v = _cg_scaled_solve(g, s, s[:, None] * b, 1.0, 1.0,
-                                     self.tol)
+                                     self.tol, x0=x0)
                 v = _project_out_nlap_kernel(v, deg)
                 u = s[:, None] * v
         elif self.solver == "gradient_descent":

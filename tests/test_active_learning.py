@@ -99,3 +99,70 @@ def test_select_policies(setup):
     assert len(q_rand) == 2
     with pytest.raises(ValueError):
         learner.select_queries(candidate_ind="bogus")
+
+
+def test_warm_start_matches_cold(setup):
+    """warm_start=True seeds refits with the previous solution — same
+    predictions as the reference cold-refit loop (round-3 verdict item 5)."""
+    labels, W, model, vals, vecs = setup
+    train_ind = gl.trainsets.generate(labels, rate=2, seed=5)
+    m_cold = gl.ssl.laplace(W, tol=1e-8)
+    m_warm = gl.ssl.laplace(W, tol=1e-8)
+    al_cold = al.active_learner(m_cold, al.unc_sampling(), train_ind,
+                                labels[train_ind])
+    al_warm = al.active_learner(m_warm, al.unc_sampling(), train_ind,
+                                labels[train_ind], warm_start=True)
+    for _ in range(3):
+        q = al_cold.select_queries(batch_size=1)
+        al_cold.update(q, labels[q])
+        qw = al_warm.select_queries(batch_size=1)
+        np.testing.assert_array_equal(q, qw)
+        al_warm.update(qw, labels[qw])
+        np.testing.assert_allclose(al_warm.u, al_cold.u, atol=1e-5)
+    assert getattr(m_warm, "_warm_u", None) is None  # cleared after fit
+
+    # poisson CG path also consumes the warm start
+    mp_cold = gl.ssl.poisson(W, tol=1e-8)
+    mp_warm = gl.ssl.poisson(W, tol=1e-8)
+    ap_cold = al.active_learner(mp_cold, al.unc_sampling(), train_ind,
+                                labels[train_ind])
+    ap_warm = al.active_learner(mp_warm, al.unc_sampling(), train_ind,
+                                labels[train_ind], warm_start=True)
+    q = ap_cold.select_queries(batch_size=2)
+    ap_cold.update(q, labels[q])
+    ap_warm.update(q, labels[q])
+    np.testing.assert_allclose(ap_warm.u, ap_cold.u, atol=1e-5)
+
+
+def test_sharded_active_learning_loop(setup):
+    """The full AL loop — acquisition covariance from the SHARDED
+    eigensolver + warm-started SHARDED refits — on the 8-device CPU mesh
+    matches the single-device loop (round-3 verdict item 5)."""
+    import jax
+
+    from graphlearning_tpu import parallel
+
+    assert len(jax.devices()) == 8
+    labels, W, model, vals, vecs = setup
+    mesh = parallel.make_mesh()
+    train_ind = gl.trainsets.generate(labels, rate=2, seed=6)
+
+    m_sh = gl.ssl.laplace(W, tol=1e-8).distribute(mesh)
+    C0_sh, V_sh = al.spectral_covariance(m_sh, k=10)
+    al_sh = al.active_learner(m_sh, al.var_opt(C0_sh, V=V_sh),
+                              train_ind, labels[train_ind],
+                              warm_start=True)
+
+    m_ref = gl.ssl.laplace(W, tol=1e-8)
+    C0_ref, V_ref = al.spectral_covariance(m_ref, k=10)
+    al_ref = al.active_learner(m_ref, al.var_opt(C0_ref, V=V_ref),
+                               train_ind, labels[train_ind])
+
+    np.testing.assert_allclose(np.diag(C0_sh), np.diag(C0_ref), atol=1e-3)
+    for _ in range(2):
+        q_ref = al_ref.select_queries(batch_size=1)
+        al_ref.update(q_ref, labels[q_ref])
+        q_sh = al_sh.select_queries(batch_size=1)
+        al_sh.update(q_sh, labels[q_sh])
+    np.testing.assert_allclose(al_sh.u, al_ref.u, atol=1e-4)
+    assert len(al_sh.labeled_ind) == len(train_ind) + 2

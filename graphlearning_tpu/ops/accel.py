@@ -78,6 +78,35 @@ def _band_budget_bytes() -> float:
 _KCAP_MAX = 32      # build-kernel VMEM slot budget (hub tail → residual)
 
 
+def hilbert_order_2d(pts, bits: int = 16):
+    """Hilbert space-filling-curve ordering of 2-D points (Skilling's
+    algorithm, vectorized).  For planar kNN graphs this gives per-ROW
+    neighbor locality (span ~ local neighborhood extent) where RCM gives
+    per-BAND locality (span ~ BFS-level width, measured ~3x wider at the
+    bench geometry) — the tile planner then needs ~3x fewer band cells
+    AND ~3x fewer X-tile fetches (round-3 verdict item 6)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    lo = pts.min(0)
+    scale = (pts.max(0) - lo)
+    scale[scale == 0] = 1.0
+    q = np.clip(((pts - lo) / scale * ((1 << bits) - 1)).astype(np.int64),
+                0, (1 << bits) - 1)
+    x, y = q[:, 0].copy(), q[:, 1].copy()
+    d = np.zeros_like(x)
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        x, y = np.where(swap, y_f, x_f), np.where(swap, x_f, y_f)
+        s //= 2
+    return np.argsort(d, kind="stable")
+
+
 def _cluster_order(W, R: int, inv_rcm, seed: int = 0):
     """Cluster-aligned ordering for graphs RCM can't band (e.g. kNN graphs
     of clustered embeddings — MNIST-style data, reference weightmatrix.py

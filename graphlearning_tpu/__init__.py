@@ -19,7 +19,7 @@ from graphlearning_tpu.core.graphclass import graph
 from graphlearning_tpu import ops, solvers, utils, weightmatrix
 from graphlearning_tpu import ssl, clustering, active_learning
 from graphlearning_tpu import datasets, trainsets
-from graphlearning_tpu import observability, checkpoint
+from graphlearning_tpu import observability, checkpoint, aot
 from graphlearning_tpu.config import GLTConfig
 from graphlearning_tpu.ssl import warmup
 

@@ -1,0 +1,141 @@
+"""AOT warmup packs — serialized compiled executables for flagship fits.
+
+``gl.warmup()`` absorbs first-compile cost per process; the persistent
+compilation cache helps across processes but a fresh process on the
+remote-TPU tunnel still pays tens of seconds of tracing + per-program
+tunnel round trips (measured 24-120 s for the config-2 Poisson fit even
+with a warm cache).  An AOT pack removes that: the WHOLE fit is one
+jitted program, compiled once, serialized with
+``jax.experimental.serialize_executable``, and a fresh process
+deserializes and CALLS it — no tracing, no compile, no tunnel round trip
+(measured: toy program fresh-process total 1.5 s; see
+``scripts/aot_pack_bench.py`` for the flagship measurement).
+
+The pack is graph-shape-specific (it embeds the degree-segment geometry
+of the :class:`ops.gather.GatherAccel` operator) and device-specific
+(an XLA executable).  Reference has no equivalent (scipy needs no
+compilation; SURVEY.md §5 checkpoint/persistence rows)."""
+
+from __future__ import annotations
+
+import functools
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graphlearning_tpu.ops.gather import GatherAccel, _spmm_of
+
+
+@functools.partial(jax.jit, static_argnames=("segs", "prec", "max_iter"))
+def _poisson_fit_g(cols, vals, order, inv, b, tol, *, segs, prec,
+                   max_iter=10**5):
+    """End-to-end Poisson-learning solve (reference ssl.py:624-629) as
+    ONE program over the segmented-gather operator: permute source,
+    normalized-Laplacian CG, kernel projection, un-permute."""
+    from graphlearning_tpu.solvers import cg as _cg
+
+    spmm = _spmm_of(cols, vals, segs, prec)
+    deg_p = jnp.concatenate([jnp.sum(v, axis=1) for v in vals])
+    s = jnp.where(deg_p > 0,
+                  jnp.where(deg_p == 0, 1.0, deg_p) ** -0.5, 0.0)
+    b_p = jnp.take(b, order, axis=0)
+
+    def A(X):
+        return X - s[:, None] * spmm(s[:, None] * X)
+
+    v, _, _ = _cg.conjgrad(A, s[:, None] * b_p, tol=tol, max_iter=max_iter)
+    # project out the D^{1/2} 1 kernel (ssl._project_out_nlap_kernel)
+    q = jnp.sqrt(jnp.maximum(deg_p, 0.0)).astype(v.dtype)
+    v = v - q[:, None] * ((q @ v) / jnp.sum(q * q))[None, :]
+    return jnp.take(s[:, None] * v, inv, axis=0)
+
+
+def save_poisson_pack(W, num_classes: int, path: str, tol: float = 1e-3):
+    """Compile the Poisson fit for ``W``'s shapes + ``num_classes`` and
+    serialize the executable to ``path``.  Run this once per
+    graph-geometry (e.g. right after building the kNN graph, before
+    labels exist — the pack is label-independent)."""
+    from jax.experimental import serialize_executable as se
+
+    acc = GatherAccel(_nodiag(W), prec="f32")
+    n = acc.n
+    b0 = jnp.zeros((n, int(num_classes)), jnp.float32)
+    statics = dict(segs=acc._segs, prec=acc.prec)
+    lowered = _poisson_fit_g.lower(
+        acc.cols, acc.vals, acc._order_dev, acc._inv_dev, b0,
+        jnp.float32(tol), **statics)
+    blob = se.serialize(lowered.compile())
+    with open(path, "wb") as fh:
+        pickle.dump({"kind": "poisson", "blob": blob, "n": n,
+                     "num_classes": int(num_classes), "tol": float(tol),
+                     "segs": acc._segs, "prec": acc.prec,
+                     "nnz": acc.nnz}, fh)
+    return path
+
+
+def _nodiag(W):
+    """Zero-diagonal copy (poisson._fit semantics, reference
+    ssl.py:614-617)."""
+    import scipy.sparse as sp
+
+    W = sp.csr_matrix(W).copy()
+    W.setdiag(0)
+    W.eliminate_zeros()
+    return W
+
+
+def load_poisson_pack(W, path: str, warm: bool = True):
+    """Load a pack saved by :func:`save_poisson_pack` for the SAME graph
+    (or any graph with identical degree-segment geometry) and return a
+    ``fit_predict(train_ind, train_labels) -> labels`` callable that
+    runs the deserialized executable — no tracing, no compilation.
+
+    Measured on the remote-TPU tunnel (config-2 shapes, n=70k,
+    scripts/aot_pack_bench.py): fresh-process import-to-first-prediction
+    20.4-29.4 s with the pack vs 120-265 s without (trace + per-program
+    tunnel compiles, persistent cache warm).  The remaining cost is the
+    tunnel's ONE-TIME device program/buffer load (~7-24 s for this
+    program — infrastructure, not compilation; deserialize itself is
+    4 s and repeat fits are 0.43 s); ``warm=True`` dispatches a
+    throwaway zero-source execution asynchronously at load so that load
+    overlaps the caller's data/label preparation."""
+    from jax.experimental import serialize_executable as se
+
+    with open(path, "rb") as fh:
+        meta = pickle.load(fh)
+    acc = GatherAccel(_nodiag(W), prec=meta["prec"])
+    if tuple(acc._segs) != tuple(meta["segs"]) or acc.n != meta["n"]:
+        raise ValueError(
+            "AOT pack graph geometry mismatch: the pack was built for a "
+            f"graph with segments {meta['segs']} (n={meta['n']}); this "
+            f"graph has {acc._segs} (n={acc.n})")
+    # single-device executable: pin execution_devices (the default is ALL
+    # local devices, which breaks on multi-device/virtual-mesh hosts)
+    comp = se.deserialize_and_load(*meta["blob"],
+                                   execution_devices=jax.devices()[:1])
+    n, C = meta["n"], meta["num_classes"]
+    if warm:
+        # async dispatch (NOT blocked on): the device loads the program
+        # and graph buffers now, overlapping the caller's host-side prep
+        comp(acc.cols, acc.vals, acc._order_dev, acc._inv_dev,
+             jnp.zeros((n, C), jnp.float32), jnp.float32(meta["tol"]))
+
+    def fit_predict(train_ind, train_labels):
+        train_ind = np.asarray(train_ind)
+        train_labels = np.asarray(train_labels)
+        classes = np.unique(train_labels)
+        if len(classes) != C:
+            raise ValueError(f"pack was built for {C} classes, "
+                             f"got {len(classes)}")
+        onehot = (train_labels[:, None] == classes[None, :]).astype(
+            np.float32)
+        b = np.zeros((n, C), np.float32)
+        b[train_ind] = onehot - onehot.mean(0)
+        u = comp(acc.cols, acc.vals, acc._order_dev, acc._inv_dev,
+                 jnp.asarray(b), jnp.float32(meta["tol"]))
+        return classes[np.argmax(np.asarray(u), axis=1)]
+
+    fit_predict.num_classes = C
+    return fit_predict

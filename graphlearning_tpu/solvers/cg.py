@@ -56,10 +56,14 @@ def conjgrad(
 
     # Clamp the tolerance to what the dtype can actually reach: reference
     # tolerances (1e-10) are f64-sized; in f32 an unreachable tol would spin
-    # the while_loop to max_iter (and trip TPU watchdogs).
+    # the while_loop to max_iter (and trip TPU watchdogs).  The clamp uses
+    # the SYSTEM scale ||b|| (== ||r0|| for the usual zero start), not the
+    # warm-start residual — a good x0 must not TIGHTEN the effective
+    # tolerance (measured: warm-started active-learning refits ran slower
+    # than cold because the solver chased 50*eps*||r0_warm||).
     eps = jnp.finfo(b.dtype).eps
     tol = jnp.maximum(
-        jnp.asarray(tol, dtype=b.dtype), 50.0 * eps * (res_norm(r) + 1.0)
+        jnp.asarray(tol, dtype=b.dtype), 50.0 * eps * (res_norm(b) + 1.0)
     )
 
     def cond(state):

@@ -107,8 +107,9 @@ def dijkstra(g: SparseGraph, bdy_set, bdy_val=None, f=1, max_dist=np.inf,
     f_np = np.asarray(f)
     f = jnp.asarray(f, dtype=dtype)
 
-    use_accel = (accel is not None and getattr(accel, "materialize", False)
-                 and np.all(f_np > 0))
+    use_accel = (accel is not None and np.all(f_np > 0)
+                 and (getattr(accel, "materialize", False)
+                      or getattr(accel, "supports_bellman_ford", False)))
     if use_accel:
         bigf = 1e30
         d0 = np.full((n,), bigf, dtype=np.float32)
@@ -162,8 +163,9 @@ def dijkstra_hl(g: SparseGraph, bdy_set, bdy_val=None, f=1, max_dist=np.inf,
         f = np.full((n,), float(f))
     f_np = np.asarray(f)
     f = jnp.asarray(f, dtype=dtype)
-    if (accel is not None and getattr(accel, "materialize", False)
-            and np.all(f_np > 0)):
+    if (accel is not None and np.all(f_np > 0)
+            and (getattr(accel, "materialize", False)
+                 or getattr(accel, "supports_bellman_ford", False))):
         bigf = 1e30
         d0 = np.full((n,), bigf, dtype=np.float32)
         d0[bdy_set] = bdy_val_arr
@@ -398,8 +400,9 @@ def peikonal_mc(g: SparseGraph, bdy_sets, f=1, p=1, max_num_it=10**5,
         bdy_mask[np.asarray(bs), c] = True
 
     u0 = np.zeros((n, C))
-    if accel is not None and getattr(accel, "materialize", False) \
-            and np.all(f > 0):
+    if accel is not None and np.all(f > 0) \
+            and (getattr(accel, "materialize", False)
+                 or getattr(accel, "supports_bellman_ford", False)):
         fq = f ** (1.0 / p)
         cols = []
         for bs in bdy_sets:

@@ -404,3 +404,33 @@ def test_lip_gs_block_gauss_seidel_matches_plain():
         jnp.asarray(gvals, jnp.float32), jnp.float32(alpha),
         jnp.float32(1.0 - alpha), jnp.float32(1e-6), 5000))
     np.testing.assert_allclose(u_gs, u_ref, rtol=2e-3, atol=2e-4)
+
+
+def test_rect_band_gating_band_hostile(monkeypatch):
+    """ADVICE r3 (medium): the block-Gauss-Seidel lip path must gate on
+    the RECTANGULAR band's HBM cost — on band-hostile graphs the rect
+    window can be ~n wide and would OOM.  rect_band_ok() must refuse,
+    and the lip solvers must fall back without building it."""
+    import numpy as np
+    import graphlearning_tpu as gl
+    from graphlearning_tpu.ops import accel as _accel
+    from graphlearning_tpu.solvers.plaplace import amle_mc
+
+    rs = np.random.RandomState(0)
+    n = 1500
+    X = rs.randn(n, 16)                       # high-dim: band-hostile
+    W = gl.weightmatrix.knn(X, 8)
+    monkeypatch.setattr(_accel, "enabled", lambda: True)
+    monkeypatch.setattr(_accel, "_MIN_N", 1)
+    monkeypatch.setattr(_accel, "_band_hostile", lambda W: False)
+    monkeypatch.setenv("GLT_BAND_HBM_GB", "0.001")   # tiny budget
+    acc = _accel.AccelSpMM(W, exact=False, fast=True)
+    assert not acc.rect_band_ok()
+    assert acc.rect_band_bytes() > _accel._band_budget_bytes()
+    # model path: amle with this accel takes the fallback, not lip_gs
+    g = gl.SparseGraph.from_scipy(W)
+    bdy = rs.choice(n, 8, replace=False)
+    vals = (np.arange(8) % 2).astype(float)[:, None]
+    u = amle_mc(g, bdy, vals, tol=1e-3, max_num_it=200, weighted=False,
+                accel=acc)
+    assert np.all(np.isfinite(u))

@@ -128,3 +128,29 @@ def test_eig_and_incres_through_gather_accel(hubgraph, force_gather,
     assert isinstance(getattr(acc_cl, "_accel_incres", None), GatherAccel)
     acc_pct = gl.clustering.clustering_accuracy(pred, labels)
     assert acc_pct > 70.0, acc_pct
+
+
+def test_gather_bellman_ford_parity(hubgraph):
+    """GatherAccel.bellman_ford (segmented min-plus) matches the plain
+    Bellman-Ford distances and closest points — the Voronoi-init path
+    volume_mbo rides on band-hostile graphs (config-4b regression fix)."""
+    from graphlearning_tpu.solvers import eikonal as _eik
+
+    W, labels, train_ind = hubgraph
+    g = gl.SparseGraph.from_scipy(W)
+    acc = GatherAccel(W, prec="f32")
+    d_ref, cp_ref = _eik.dijkstra(g, train_ind[:6], bdy_val=0.0, f=1.0,
+                                  return_cp=True)
+    d_acc, cp_acc = acc.bellman_ford(
+        np.where(np.isin(np.arange(W.shape[0]), train_ind[:6]), 0.0,
+                 1e30).astype(np.float32), np.ones(W.shape[0], np.float32))
+    d_acc = np.asarray(d_acc, float)
+    np.testing.assert_allclose(d_acc, d_ref, atol=1e-5)
+    assert np.mean(np.asarray(cp_acc) == cp_ref) > 0.99   # tie-breaks
+
+    h_ref = _eik.dijkstra_hl(g, train_ind[:6], bdy_val=0.0, f=1.0)
+    h_acc, _ = acc.bellman_ford(
+        np.where(np.isin(np.arange(W.shape[0]), train_ind[:6]), 0.0,
+                 1e30).astype(np.float32), np.ones(W.shape[0], np.float32),
+        hopf_lax=True)
+    np.testing.assert_allclose(np.asarray(h_acc, float), h_ref, atol=1e-5)

@@ -329,6 +329,15 @@ def knn(data, k, kernel="gaussian", eta=None, symmetrize=True, metric="raw",
     W = sparse.csr_matrix(W)
     W.setdiag(0)
     W.eliminate_zeros()
+    if not isinstance(data, str) and np.ndim(data) == 2 \
+            and np.shape(data)[1] <= 3:
+        # low-dimensional point coordinates enable the Hilbert-curve
+        # ordering candidate in ops.accel.AccelSpMM (measured 1.46x SpMM
+        # throughput over RCM on 2-D kNN graphs, round-4 item 6)
+        try:
+            W._glt_points = np.asarray(data)
+        except Exception:    # pragma: no cover
+            pass
     return W
 
 

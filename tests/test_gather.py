@@ -154,3 +154,25 @@ def test_gather_bellman_ford_parity(hubgraph):
                  1e30).astype(np.float32), np.ones(W.shape[0], np.float32),
         hopf_lax=True)
     np.testing.assert_allclose(np.asarray(h_acc, float), h_ref, atol=1e-5)
+
+
+def test_hilbert_candidate_in_accel(monkeypatch):
+    """weightmatrix.knn attaches low-dim point coordinates; AccelSpMM
+    considers the Hilbert-curve ordering candidate and its banded SpMM
+    stays exact (round-4 item 6 reaching the MODEL path)."""
+    from graphlearning_tpu.ops.accel import (AccelSpMM, hilbert_order_2d,
+                                             _band_hostile)
+
+    rs = np.random.RandomState(3)
+    n = 8192
+    pts = rs.rand(n, 2)
+    W = gl.weightmatrix.knn(pts, 8)
+    assert getattr(W, "_glt_points", None) is not None
+    acc = AccelSpMM(W, exact=True, interpret=True)
+    X = rs.randn(n, 4)
+    out = acc.from_perm(acc.spmm(acc.to_perm(jnp.asarray(X, jnp.float32))))
+    ref = W @ X
+    assert np.max(np.abs(np.asarray(out) - ref)) / np.max(np.abs(ref)) < 1e-5
+    # the hilbert ordering must at least be a valid permutation here
+    o = hilbert_order_2d(pts)
+    assert sorted(o.tolist()) == list(range(n))

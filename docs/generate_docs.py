@@ -18,6 +18,8 @@ MODULES = [
     "graphlearning_tpu.core.graphclass",
     "graphlearning_tpu.ops.graphops",
     "graphlearning_tpu.ops.pallas_spmm",
+    "graphlearning_tpu.ops.accel",
+    "graphlearning_tpu.ops.gather",
     "graphlearning_tpu.solvers.cg",
     "graphlearning_tpu.solvers.eig",
     "graphlearning_tpu.solvers.eikonal",
@@ -35,8 +37,11 @@ MODULES = [
     "graphlearning_tpu.utils",
     "graphlearning_tpu.parallel.mesh",
     "graphlearning_tpu.parallel.shard",
+    "graphlearning_tpu.parallel.execute",
+    "graphlearning_tpu.parallel.band_shard",
     "graphlearning_tpu.observability",
     "graphlearning_tpu.checkpoint",
+    "graphlearning_tpu.aot",
     "graphlearning_tpu.config",
 ]
 

@@ -77,7 +77,12 @@ def spmm_t(g: SparseGraph, X):
 
 
 def degree_vector(g: SparseGraph):
-    """Weighted degree ``d_i = sum_j w_ij`` (reference ``graph.py:108-122``)."""
+    """Weighted degree ``d_i = sum_j w_ij`` (reference ``graph.py:108-122``).
+    Operator override: ``deg_`` (hybrid graphs whose spill edges live
+    outside the main ELL, e.g. ``parallel.shard.ShardedBucketedGraph``)."""
+    custom = getattr(g, "deg_", None)
+    if custom is not None:
+        return custom()
     return jnp.sum(g.vals, axis=1)
 
 
@@ -88,7 +93,11 @@ def degree_vector_p(g: SparseGraph, p: float):
 
 
 def diagonal(g: SparseGraph):
-    """diag(W).  Padding (cols==row, vals==0) contributes nothing."""
+    """diag(W).  Padding (cols==row, vals==0) contributes nothing.
+    Operator override: ``diag_`` (hybrid graphs with spill edges)."""
+    custom = getattr(g, "diag_", None)
+    if custom is not None:
+        return custom()
     rows = jax.lax.broadcasted_iota(jnp.int32, (g.n, g.k), 0)
     return jnp.sum(jnp.where(g.cols == rows, g.vals, 0.0), axis=1)
 

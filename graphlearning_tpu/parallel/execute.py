@@ -88,24 +88,33 @@ class Distributor:
             mode = "f32"
         return R, WT, mode, cpu
 
-    def operator(self, W, transpose: bool = False):
-        """The sharded SpMM operator for ``W``: a row-sharded padded-ELL
-        :class:`SparseGraph` (GSPMD all-gather kernel) or a
+    def operator(self, W, transpose: bool = False,
+                 need_slots: bool = False):
+        """The sharded SpMM operator for ``W``: a
         :class:`band_shard.ShardedOp` (partitioned tiled-band Pallas
         kernel + ppermute halo exchange — the fast path, round-2 verdict
-        item 1).  Returns ``(op, n_original)``; ``op.n`` is the padded
-        node count all per-node arrays must match (``put_rows(...,
-        op=op)``), and banded ops carry an RCM permutation that
-        ``put_rows``/``gather`` apply transparently.
+        item 1), a :class:`parallel.shard.ShardedBucketedGraph` (capped
+        ELL + replicated spill — degree-skewed band-hostile graphs), or
+        a row-sharded padded-ELL :class:`SparseGraph` (GSPMD gather).
+        Returns ``(op, n_original)``; ``op.n`` is the padded node count
+        all per-node arrays must match (``put_rows(..., op=op)``), and
+        banded ops carry an RCM permutation that ``put_rows``/``gather``
+        apply transparently.
+
+        ``need_slots``: callers whose programs index per-slot neighbor
+        structure beyond ``ops.neighbor_take`` (the distance/lip family
+        fallbacks) get the full-ELL graph instead of the capped hybrid.
 
         Kernel choice (``config.sharded_kernel``): "banded"/"gspmd" force;
-        "auto" uses the band on TPU backends when the RCM-partitioned band
-        covers ``1 - band_max_residual`` of the edges and the graph is
-        large enough to amortize tile padding.  Cached per (W, mesh,
+        "auto" uses the band on TPU backends when the graph is not
+        band-hostile (accel's RCM-bandwidth pre-gate — measured: banding
+        the 30-d hub surrogate OOM'd at 16.7 GB) and covers
+        ``1 - band_max_residual`` of the edges.  Cached per (W, mesh,
         kernel)."""
         kernel = self.config.sharded_kernel
         R, WT, mode, cpu = self._band_params()
-        key = (self._key, "op", kernel, bool(transpose), R, WT, mode)
+        key = (self._key, "op", kernel, bool(transpose),
+               bool(need_slots), R, WT, mode)
         cache = getattr(W, "_glt_shard_cache", None)
         if isinstance(cache, dict) and key in cache:
             return cache[key]
@@ -116,13 +125,35 @@ class Distributor:
             # XLA gather, so auto only takes the band on real TPU, and only
             # when the per-device block is at least a few tiles tall
             use_band = (not cpu) and n >= 4 * self.P * max(R, WT)
+            if use_band:
+                from graphlearning_tpu.ops.accel import _band_hostile
+
+                try:
+                    use_band = not _band_hostile(W)
+                except Exception:    # pragma: no cover
+                    use_band = False
         entry = None
         if use_band:
-            entry = self._build_band_op(W, R, WT, mode, cpu, transpose,
-                                        strict=(kernel == "banded"))
+            try:
+                entry = self._build_band_op(W, R, WT, mode, cpu, transpose,
+                                            strict=(kernel == "banded"))
+            except Exception:
+                if kernel == "banded":
+                    raise
+                entry = None       # defensive: fall through to gather
         if entry is None:
-            g, n = self.shard_graph(W.T.tocsr() if transpose else W)
-            entry = (g, n)
+            Wd = W.T.tocsr() if transpose else W
+            if not need_slots and self._degree_skewed(Wd):
+                from graphlearning_tpu.parallel.shard import (
+                    build_sharded_bucketed)
+
+                g, n = build_sharded_bucketed(Wd, self.mesh, self.axis,
+                                              self.P,
+                                              dtype=self.config.resolve_dtype())
+                entry = (g, n)
+            else:
+                g, n = self.shard_graph(Wd)
+                entry = (g, n)
         try:
             if not isinstance(cache, dict):
                 W._glt_shard_cache = cache = {}
@@ -130,6 +161,19 @@ class Distributor:
         except Exception:
             pass
         return entry
+
+    @staticmethod
+    def _degree_skewed(W) -> bool:
+        """True when a full padded ELL would waste >2x the slots of a
+        p95-capped hybrid (hub-degree graphs: the 30-d surrogate's hub
+        degree is ~30x its median)."""
+        import scipy.sparse as sp
+
+        Wc = sp.csr_matrix(W)
+        deg = np.diff(Wc.indptr)
+        if len(deg) == 0 or deg.max() == 0:
+            return False
+        return float(deg.max()) > 2.0 * float(np.percentile(deg, 95))
 
     def _build_band_op(self, W, R, WT, mode, interpret, transpose,
                        strict=False):
@@ -507,7 +551,7 @@ def lip_fit_sharded(dist: Distributor, W, bdy_set, bdy_vals, *, alpha=None,
     from graphlearning_tpu.solvers.plaplace import (
         _lip_iterate_mc, _lip_iterate_weighted_mc)
 
-    g, n = dist.operator(W)
+    g, n = dist.operator(W, need_slots=True)
     dtype = dist.config.resolve_dtype()
     bdy_set = np.asarray(bdy_set)
     bdy_vals = np.asarray(bdy_vals, dtype=float)
@@ -627,7 +671,7 @@ def peikonal_fit_sharded(dist: Distributor, W, bdy_mask, f, p, tol,
     GSPMD all-gather of all n rows (round-3 verdict item 2)."""
     from graphlearning_tpu.solvers.eikonal import _peikonal_jacobi_mc
 
-    g, n = dist.operator(W)
+    g, n = dist.operator(W, need_slots=True)
     dtype = dist.config.resolve_dtype()
     C = bdy_mask.shape[1]
     bdy = dist.put_rows(np.asarray(bdy_mask, bool), fill=True, op=g)
@@ -681,7 +725,7 @@ def dijkstra_fit_sharded(dist: Distributor, W, bdy_set, bdy_val, f,
     from graphlearning_tpu.solvers.eikonal import (_bellman_ford,
                                                    _boundary_handling)
 
-    g, n = dist.operator(W)
+    g, n = dist.operator(W, need_slots=True)
     dtype = dist.config.resolve_dtype()
     bdy_set, bdy_val_arr = _boundary_handling(bdy_set, bdy_val)
     if np.isscalar(f) or np.ndim(f) == 0:

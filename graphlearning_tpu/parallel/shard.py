@@ -137,3 +137,111 @@ def put_features(X, mesh: Mesh):
     spec = P("nodes", *([None] * (X.ndim - 1)))
     return jax.device_put(jnp.asarray(X, dtype=config.float_dtype()),
                           NamedSharding(mesh, spec))
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["cols", "vals", "degv", "diagv", "deg", "sp_rows",
+                 "sp_cols", "sp_vals"],
+    meta_fields=["n", "k"],
+)
+class ShardedBucketedGraph:
+    """Row-sharded capped-ELL + replicated-spill-COO graph — the GSPMD
+    operator for DEGREE-SKEWED (band-hostile, hub-degree) graphs.
+
+    A full padded ELL pads every row's gather to the hub degree
+    (measured on the 30-d surrogate at n=70k: hub degree 333 -> 23.3M
+    slots for 1.18M edges, and the sharded fits either crawled or
+    OOM'd), so the sharded graph caps the main ELL at the
+    95th-percentile degree and reduces the hub tails with a replicated
+    COO scatter-add.  The SpMM-family solver programs consume it
+    unchanged through the ``spmm_`` / ``deg_`` / ``diag_`` dispatch
+    hooks in ``ops.graphops``; slot-structured programs (lip/peikonal
+    neighbor gathers) keep the full ELL (``Distributor.operator(...,
+    need_slots=True)``)."""
+
+    def __init__(self, cols, vals, degv, diagv, deg, sp_rows, sp_cols,
+                 sp_vals, n, k):
+        self.cols = cols          # (n, kcap) main ELL, row-sharded
+        self.vals = vals
+        self.degv = degv          # (n,) weighted degree incl. spill
+        self.diagv = diagv        # (n,) diag(W) incl. spill
+        self.deg = deg            # (n,) int main-slot counts
+        self.sp_rows = sp_rows    # replicated spill COO (padded; padding
+        self.sp_cols = sp_cols    #  rows point at row n -> dropped)
+        self.sp_vals = sp_vals
+        self.n = n
+        self.k = k
+
+    @property
+    def shape(self):
+        return (self.n, self.n)
+
+    def mask(self):
+        return jnp.arange(self.k)[None, :] < self.deg[:, None]
+
+    def spmm_(self, X):
+        gathered = jnp.take(X, self.cols, axis=0)
+        out = jnp.einsum("nk,nkd->nd", self.vals, gathered)
+        sv = self.sp_vals[:, None] * jnp.take(X, self.sp_cols, axis=0)
+        return out.at[self.sp_rows].add(sv, mode="drop")
+
+    def deg_(self):
+        return self.degv
+
+    def diag_(self):
+        return self.diagv
+
+
+def build_sharded_bucketed(W, mesh: Mesh, axis: str, P_axis: int,
+                           dtype=None, index_dtype=None):
+    """Host-side build of a :class:`ShardedBucketedGraph` for ``W``
+    (scipy CSR): cap at the p95 degree, spill hub tails, precompute
+    full-degree/diagonal vectors, place row-sharded / replicated."""
+    import scipy.sparse as sp
+
+    from graphlearning_tpu.core.sparse import BucketedELL, SparseGraph
+
+    W = sp.csr_matrix(W)
+    n = W.shape[0]
+    cols_np, vals_np, deg_np = SparseGraph.ell_from_scipy(W)
+    b = BucketedELL.from_ell_np(cols_np, vals_np, deg_np)
+    kcap = b.kcap
+    degv = np.asarray(W.sum(1)).ravel()
+    diagv = np.asarray(W.diagonal()).ravel()
+
+    n_extra = (-n) % P_axis
+    mcols = np.asarray(b.main.cols)
+    mvals = np.asarray(b.main.vals)
+    mdeg = np.asarray(b.main.deg)
+    if n_extra:
+        pad_cols = np.repeat(
+            np.arange(n, n + n_extra, dtype=mcols.dtype)[:, None], kcap,
+            axis=1)
+        mcols = np.concatenate([mcols, pad_cols])
+        mvals = np.concatenate([mvals, np.zeros((n_extra, kcap),
+                                                mvals.dtype)])
+        mdeg = np.concatenate([mdeg, np.zeros(n_extra, mdeg.dtype)])
+        degv = np.concatenate([degv, np.zeros(n_extra)])
+        diagv = np.concatenate([diagv, np.zeros(n_extra)])
+    n_pad = n + n_extra
+    # spill padding rows carry id n (the original convention) — repoint
+    # them past the PADDED rows so the scatter drops them
+    sp_rows = np.asarray(b.sp_rows).copy()
+    sp_rows[sp_rows == n] = n_pad
+
+    dtype = dtype or config.float_dtype()
+    index_dtype = index_dtype or config.index_dtype
+    row = NamedSharding(mesh, P(axis, None))
+    flat = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    return ShardedBucketedGraph(
+        cols=jax.device_put(jnp.asarray(mcols, index_dtype), row),
+        vals=jax.device_put(jnp.asarray(mvals, dtype), row),
+        degv=jax.device_put(jnp.asarray(degv, dtype), flat),
+        diagv=jax.device_put(jnp.asarray(diagv, dtype), flat),
+        deg=jax.device_put(jnp.asarray(mdeg, index_dtype), flat),
+        sp_rows=jax.device_put(jnp.asarray(sp_rows), rep),
+        sp_cols=jax.device_put(jnp.asarray(b.sp_cols), rep),
+        sp_vals=jax.device_put(jnp.asarray(b.sp_vals, dtype), rep),
+        n=int(n_pad), k=int(kcap)), n

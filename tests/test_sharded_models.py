@@ -405,3 +405,58 @@ def test_banded_distance_and_lip_families(band_cfg, clusters):
         pred_sh = m_sh.fit_predict(train_ind, labels[train_ind])
         agree = np.mean(pred_sh == pred_ref)
         assert agree >= min_agree, (cls.__name__, agree)
+
+
+def test_sharded_hub_graph_bucketed(mesh):
+    """Degree-skewed (band-hostile) graphs shard through the capped-ELL +
+    spill hybrid (round-4: the full padded ELL would pad every gather to
+    the hub degree, and the auto band build OOM'd on the real chip).
+    Parity for the spmm family; distance solvers keep full-ELL slots."""
+    from graphlearning_tpu.parallel import execute as _exec
+    from graphlearning_tpu.parallel.shard import ShardedBucketedGraph
+    from graphlearning_tpu.solvers import eikonal as _eik
+
+    rs = np.random.RandomState(4)
+    n, ncls, dim = 1500, 3, 30
+    centers = rs.randn(ncls, dim) * 1.0     # CONNECTED (disconnection
+    labels = rs.randint(0, ncls, n)         # makes the normalized
+    X = centers[labels] + rs.randn(n, dim)  # Laplacian CG ill-posed)
+    W = gl.weightmatrix.knn(X, 12)
+    from scipy.sparse.csgraph import connected_components
+
+    assert connected_components(W, directed=False)[0] == 1
+    deg = np.diff(W.tocsr().indptr)
+    assert deg.max() > 1.5 * np.percentile(deg, 95)   # genuinely skewed
+    train_ind = np.concatenate(
+        [rs.choice(np.where(labels == c)[0], 5, replace=False)
+         for c in range(ncls)])
+
+    dist = _exec.Distributor(mesh)
+    op, _ = dist.operator(W)
+    assert isinstance(op, ShardedBucketedGraph)
+    # slot economy: capped ELL + spill ≪ full-ELL slots
+    assert op.k < 0.7 * deg.max()
+
+    # spmm parity through the hybrid
+    from graphlearning_tpu.ops import graphops as _ops
+
+    Xf = rs.randn(op.n, 4)
+    Xs = dist.put_rows(Xf[: W.shape[0]], op=op)
+    out = _ops.spmm(op, Xs)
+    np.testing.assert_allclose(dist.gather(out, W.shape[0], op=op),
+                               W @ Xf[: W.shape[0]], atol=1e-9)
+
+    # model parity (laplace + poisson + volume_mbo through the hybrid)
+    for mk in (lambda: gl.ssl.laplace(W, tol=1e-9),
+               lambda: gl.ssl.poisson(W, tol=1e-9)):
+        m_sh = mk().distribute(mesh)
+        m_ref = mk()
+        pred_sh = m_sh.fit_predict(train_ind, labels[train_ind])
+        pred_ref = m_ref.fit_predict(train_ind, labels[train_ind])
+        assert np.mean(pred_sh == pred_ref) >= 0.99
+
+    # distance solver keeps full-ELL slots and stays correct
+    g = gl.SparseGraph.from_scipy(W)
+    d_sh = _exec.dijkstra_fit_sharded(dist, W, train_ind[:4], 0.0, 1.0)
+    d_ref = _eik.dijkstra(g, train_ind[:4], bdy_val=0.0, f=1.0)
+    np.testing.assert_allclose(d_sh, d_ref, atol=1e-8)

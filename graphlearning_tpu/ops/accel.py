@@ -107,6 +107,31 @@ def hilbert_order_2d(pts, bits: int = 16):
     return np.argsort(d, kind="stable")
 
 
+def morton_order_3d(pts, bits: int = 20):
+    """Morton (z-order) ordering of 3-D points — the 3-D analogue of the
+    Hilbert candidate (a true 3-D Hilbert buys only a few percent over
+    Morton for kNN row locality and costs far more code)."""
+    pts = np.asarray(pts, dtype=np.float64)
+    lo = pts.min(0)
+    scale = pts.max(0) - lo
+    scale[scale == 0] = 1.0
+    q = np.clip(((pts - lo) / scale * ((1 << bits) - 1)).astype(np.int64),
+                0, (1 << bits) - 1)
+
+    def spread3(v):
+        v &= 0xFFFFF
+        v = (v | (v << 32)) & 0x1F00000000FFFF
+        v = (v | (v << 16)) & 0x1F0000FF0000FF
+        v = (v | (v << 8)) & 0x100F00F00F00F00F
+        v = (v | (v << 4)) & 0x10C30C30C30C30C3
+        v = (v | (v << 2)) & 0x1249249249249249
+        return v
+
+    key = (spread3(q[:, 0]) | (spread3(q[:, 1]) << 1)
+           | (spread3(q[:, 2]) << 2))
+    return np.argsort(key, kind="stable")
+
+
 def _cluster_order(W, R: int, inv_rcm, seed: int = 0):
     """Cluster-aligned ordering for graphs RCM can't band (e.g. kNN graphs
     of clustered embeddings — MNIST-style data, reference weightmatrix.py
@@ -270,15 +295,17 @@ class AccelSpMM:
         order = perm_rcm
         pos = np.arange(n)
         cand = assemble(order, pos, n)
-        # candidate 2: Hilbert space-filling curve on the point
-        # coordinates (2-D data): per-ROW neighbor locality instead of
-        # RCM's per-BAND locality — measured ~3x tighter spans and
+        # candidate 2: space-filling curve on the point coordinates
+        # (2-D Hilbert / 3-D Morton): per-ROW neighbor locality instead
+        # of RCM's per-BAND locality — measured ~3x tighter spans and
         # 0.94 -> 1.37e9 edges/s on the bench geometry (round-4 item 6)
         if (band_intent and pts is not None and np.ndim(pts) == 2
-                and pts.shape[0] == n and pts.shape[1] == 2
+                and pts.shape[0] == n and pts.shape[1] in (2, 3)
                 and n >= 8192):
             try:
-                order_h = hilbert_order_2d(np.asarray(pts))
+                order_h = (hilbert_order_2d(np.asarray(pts))
+                           if pts.shape[1] == 2
+                           else morton_order_3d(np.asarray(pts)))
                 cand_h = assemble(order_h, np.arange(n), n)
                 if cand_h[3] < cand[3]:
                     cand, order = cand_h, order_h

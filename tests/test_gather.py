@@ -176,3 +176,21 @@ def test_hilbert_candidate_in_accel(monkeypatch):
     # the hilbert ordering must at least be a valid permutation here
     o = hilbert_order_2d(pts)
     assert sorted(o.tolist()) == list(range(n))
+
+
+def test_morton_3d_order():
+    """3-D point clouds get the Morton curve candidate; SpMM stays exact
+    through whatever ordering the cost model picks."""
+    from graphlearning_tpu.ops.accel import AccelSpMM, morton_order_3d
+
+    rs = np.random.RandomState(5)
+    n = 8192
+    pts = rs.rand(n, 3)
+    o = morton_order_3d(pts)
+    assert sorted(o.tolist()) == list(range(n))
+    W = gl.weightmatrix.knn(pts, 8)
+    acc = AccelSpMM(W, exact=True, interpret=True)
+    X = rs.randn(n, 4)
+    out = acc.from_perm(acc.spmm(acc.to_perm(jnp.asarray(X, jnp.float32))))
+    ref = W @ X
+    assert np.max(np.abs(np.asarray(out) - ref)) / np.max(np.abs(ref)) < 1e-5

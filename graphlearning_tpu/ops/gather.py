@@ -75,11 +75,16 @@ class GatherSpMM:
         self.prec = prec
 
         deg_s = deg[order]
+        bounds = _BOUNDS
+        if len(deg_s) and int(deg_s[-1]) > bounds[-1]:
+            # mega-hub beyond the table: one extra segment at the actual
+            # max degree (rounded up to a sublane multiple)
+            bounds = bounds + (-(-int(deg_s[-1]) // 8) * 8,)
         # segment ends at the last row whose degree fits each boundary
         self.segs = []          # (start, end, kcap) static metadata
         cols_list, vals_list = [], []
         start = 0
-        for kcap in _BOUNDS:
+        for kcap in bounds:
             end = int(np.searchsorted(deg_s, kcap, side="right"))
             if end <= start:
                 continue
@@ -140,7 +145,16 @@ def _spmm_of(cols, vals, segs, prec):
         adt = jnp.float64 if Xp.dtype == jnp.float64 else jnp.float32
         outs = []
         for (start, end, kcap), c, v in zip(segs, cols, vals):
-            acc = jnp.zeros((end - start, Xp.shape[1]), adt)
+            m = end - start
+            if kcap >= 128:
+                # hub segments: few rows, many slots — one flat take +
+                # einsum instead of kcap unrolled ops (trace size) and
+                # the (m, kcap, d) intermediate stays small (m is tiny)
+                g = jnp.take(table, c.reshape(-1), axis=0).astype(
+                    adt).reshape(m, kcap, Xp.shape[1])
+                outs.append(jnp.einsum("mk,mkd->md", v.astype(adt), g))
+                continue
+            acc = jnp.zeros((m, Xp.shape[1]), adt)
             for s in range(kcap):
                 acc = acc + v[:, s:s + 1].astype(adt) * jnp.take(
                     table, c[:, s], axis=0).astype(adt)

@@ -394,6 +394,12 @@ def epsilon_ball(data, epsilon, kernel="gaussian", features=None, epsilon_f=1, e
     W = sparse.csr_matrix(W)
     W.setdiag(0)
     W.eliminate_zeros()
+    if data.ndim == 2 and data.shape[1] <= 3:
+        # coordinates enable the curve-ordering candidate (see knn)
+        try:
+            W._glt_points = data
+        except Exception:    # pragma: no cover
+            pass
     return W
 
 

@@ -25,7 +25,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from graphlearning_tpu.ops.gather import GatherAccel, _spmm_of
+from graphlearning_tpu.ops.gather import (GatherAccel, _eig_norm_g,
+                                          _laplace_constrained_g, _spmm_of)
 
 
 @functools.partial(jax.jit, static_argnames=("segs", "prec", "max_iter"))
@@ -84,6 +85,211 @@ def _nodiag(W):
     W.setdiag(0)
     W.eliminate_zeros()
     return W
+
+
+@functools.partial(jax.jit, static_argnames=("segs", "prec",
+                                             "normalization", "order",
+                                             "max_iter"))
+def _laplace_fit_aot(cols, vals, order_dev, inv_dev, deg, diagL, tau,
+                     mask, bdy, tol, *, segs, prec, normalization,
+                     order, max_iter=10**5):
+    """End-to-end Laplace-learning solve (reference ssl.py:1206-1261) as
+    ONE program over the segmented-gather operator: permute, masked
+    Jacobi-preconditioned CG on ``tau + L^order``, un-permute.  Inputs
+    are in ORIGINAL node order; ``mask`` int32 (1 at labels)."""
+    take = lambda a: jnp.take(a, order_dev, axis=0)
+    u_p = _laplace_constrained_g(
+        cols, vals, take(deg), take(diagL), take(tau), take(mask) > 0,
+        take(bdy), tol, None, segs=segs, prec=prec,
+        normalization=normalization, order=order, max_iter=max_iter)
+    return jnp.take(u_p, inv_dev, axis=0)
+
+
+def save_laplace_pack(W, num_classes: int, path: str, tol: float = 1e-5,
+                      normalization: str = "combinatorial", order: int = 1,
+                      tau: float = 0.0):
+    """Compile the Laplace-learning fit (``gl.ssl.laplace`` semantics,
+    no reweighting) for ``W``'s shapes + ``num_classes`` and serialize
+    the executable — the config-5b-shaped companion to
+    :func:`save_poisson_pack`."""
+    from jax.experimental import serialize_executable as se
+
+    acc, args = _laplace_pack_args(W, num_classes, tau, normalization)
+    statics = dict(segs=acc._segs, prec=acc.prec,
+                   normalization=normalization, order=int(order))
+    lowered = _laplace_fit_aot.lower(*args, jnp.float32(tol), **statics)
+    blob = se.serialize(lowered.compile())
+    with open(path, "wb") as fh:
+        pickle.dump({"kind": "laplace", "blob": blob, "n": acc.n,
+                     "num_classes": int(num_classes), "tol": float(tol),
+                     "segs": acc._segs, "prec": acc.prec,
+                     "normalization": normalization, "order": int(order),
+                     "tau": float(tau), "nnz": acc.nnz}, fh)
+    return path
+
+
+def _laplace_pack_args(W, num_classes, tau, normalization):
+    """(acc, positional args with a zero mask/bdy) for the laplace AOT
+    program — shared by save (lowering) and load (warm dispatch)."""
+    import scipy.sparse as sp
+
+    Wc = sp.csr_matrix(W)
+    acc = GatherAccel(Wc, prec="f32")
+    n = acc.n
+    deg = np.asarray(Wc.sum(1)).ravel().astype(np.float32)
+    dW = np.asarray(Wc.diagonal()).ravel().astype(np.float32)
+    # diag(L) per normalization (ops.graphops.laplacian_diag semantics)
+    if normalization == "combinatorial":
+        diagL = deg - dW
+    else:  # randomwalk / normalized
+        diagL = 1.0 - dW / np.maximum(deg, 1e-30)
+    args = (acc.cols, acc.vals, acc._order_dev, acc._inv_dev,
+            jnp.asarray(deg), jnp.asarray(diagL.astype(np.float32)),
+            jnp.full((n,), np.float32(tau)),
+            jnp.zeros((n,), jnp.int32),
+            jnp.zeros((n, int(num_classes)), jnp.float32))
+    return acc, args
+
+
+def load_laplace_pack(W, path: str, warm: bool = True):
+    """Load a pack saved by :func:`save_laplace_pack` for the SAME graph
+    geometry; returns ``fit_predict(train_ind, train_labels)`` running
+    the deserialized executable (no tracing, no compile)."""
+    from jax.experimental import serialize_executable as se
+
+    with open(path, "rb") as fh:
+        meta = pickle.load(fh)
+    if meta.get("kind") != "laplace":
+        raise ValueError(f"not a laplace pack: {meta.get('kind')}")
+    acc, args = _laplace_pack_args(W, meta["num_classes"], meta["tau"],
+                                   meta["normalization"])
+    if tuple(acc._segs) != tuple(meta["segs"]) or acc.n != meta["n"]:
+        raise ValueError(
+            "AOT pack graph geometry mismatch: the pack was built for a "
+            f"graph with segments {meta['segs']} (n={meta['n']}); this "
+            f"graph has {acc._segs} (n={acc.n})")
+    comp = se.deserialize_and_load(*meta["blob"],
+                                   execution_devices=jax.devices()[:1])
+    n, C = meta["n"], meta["num_classes"]
+    if warm:
+        comp(*args, jnp.float32(meta["tol"]))
+
+    def fit_predict(train_ind, train_labels):
+        train_ind = np.asarray(train_ind)
+        train_labels = np.asarray(train_labels)
+        classes = np.unique(train_labels)
+        if len(classes) != C:
+            raise ValueError(f"pack was built for {C} classes, "
+                             f"got {len(classes)}")
+        mask = np.zeros(n, np.int32)
+        mask[train_ind] = 1
+        bdy = np.zeros((n, C), np.float32)
+        bdy[train_ind] = (train_labels[:, None]
+                          == classes[None, :]).astype(np.float32)
+        u = comp(*args[:7], jnp.asarray(mask), jnp.asarray(bdy),
+                 jnp.float32(meta["tol"]))
+        return classes[np.argmax(np.asarray(u), axis=1)]
+
+    fit_predict.num_classes = C
+    return fit_predict
+
+
+@functools.partial(jax.jit, static_argnames=("segs", "prec", "power",
+                                             "m", "kcl", "n_init",
+                                             "km_iter"))
+def _spectral_fit_aot(cols, vals, inv_dev, s_p, X0, key, *, segs, prec,
+                      power, m, kcl, n_init, km_iter):
+    """NgJordanWeiss spectral clustering (reference clustering.py:113-198)
+    as ONE program: LOBPCG on the normalized Laplacian through the
+    segmented gather, eigenvalue sort, row normalization, multi-restart
+    device k-means.  Returns int32 labels in ORIGINAL node order."""
+    from graphlearning_tpu.solvers.kmeans import _kmeans_all
+
+    vals_e, U_p = _eig_norm_g(cols, vals, s_p, X0, power=power, m=m,
+                              segs=segs, prec=prec)
+    order_idx = jnp.argsort(vals_e)
+    U = jnp.take(U_p, inv_dev, axis=0)[:, order_idx]
+    norms = jnp.sqrt(jnp.sum(U * U, axis=1))
+    V = U / jnp.maximum(norms[:, None], 1e-30)
+    lab, _ = _kmeans_all(V, key, k=kcl, n_init=n_init, max_iter=km_iter)
+    return lab
+
+
+def save_spectral_pack(W, num_clusters: int, path: str, extra_dim: int = 0,
+                       n_init: int = 10, km_iter: int = 50):
+    """Compile NgJordanWeiss spectral clustering for ``W``'s shapes and
+    serialize the executable (the config-3 program — its LOBPCG was the
+    worst tunnel cold-compile observed, 479 s)."""
+    from jax.experimental import serialize_executable as se
+
+    acc, args, kw = _spectral_pack_args(W, num_clusters, extra_dim,
+                                        n_init, km_iter)
+    lowered = _spectral_fit_aot.lower(*args, **kw)
+    blob = se.serialize(lowered.compile())
+    with open(path, "wb") as fh:
+        pickle.dump({"kind": "spectral", "blob": blob, "n": acc.n,
+                     "num_clusters": int(num_clusters),
+                     "extra_dim": int(extra_dim), "n_init": int(n_init),
+                     "km_iter": int(km_iter), "segs": acc._segs,
+                     "prec": acc.prec, "nnz": acc.nnz}, fh)
+    return path
+
+
+def _spectral_pack_args(W, num_clusters, extra_dim, n_init, km_iter):
+    import scipy.sparse as sp
+    from graphlearning_tpu.solvers.eig import _default_power
+
+    Wc = sp.csr_matrix(W)
+    acc = GatherAccel(Wc, prec="f32")
+    k = int(num_clusters) + int(extra_dim)
+    deg = np.asarray(Wc.sum(1)).ravel().astype(np.float32)
+    s = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-30)),
+                 0.0).astype(np.float32)
+    s_p = jnp.take(jnp.asarray(s), acc._order_dev, axis=0)
+    # X0/key: the SAME deterministic seeds the model path uses
+    # (GatherAccel.eig_normalized PRNGKey(0); kmeans seed 0)
+    X0 = jax.random.normal(jax.random.PRNGKey(0), (acc.n, k),
+                           dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    args = (acc.cols, acc.vals, acc._inv_dev, s_p, X0, key)
+    kw = dict(segs=acc._segs, prec=acc.prec,
+              power=_default_power(jnp.float32), m=200,
+              kcl=int(num_clusters), n_init=int(n_init),
+              km_iter=int(km_iter))
+    return acc, args, kw
+
+
+def load_spectral_pack(W, path: str, warm: bool = True):
+    """Load a pack saved by :func:`save_spectral_pack`; returns
+    ``fit_predict() -> labels`` running the deserialized executable."""
+    from jax.experimental import serialize_executable as se
+
+    with open(path, "rb") as fh:
+        meta = pickle.load(fh)
+    if meta.get("kind") != "spectral":
+        raise ValueError(f"not a spectral pack: {meta.get('kind')}")
+    acc, args, _ = _spectral_pack_args(
+        W, meta["num_clusters"], meta["extra_dim"], meta["n_init"],
+        meta["km_iter"])
+    if tuple(acc._segs) != tuple(meta["segs"]) or acc.n != meta["n"]:
+        raise ValueError(
+            "AOT pack graph geometry mismatch: the pack was built for a "
+            f"graph with segments {meta['segs']} (n={meta['n']}); this "
+            f"graph has {acc._segs} (n={acc.n})")
+    comp = se.deserialize_and_load(*meta["blob"],
+                                   execution_devices=jax.devices()[:1])
+    state = {}
+    if warm:
+        state["pending"] = comp(*args)
+
+    def fit_predict():
+        lab = state.pop("pending", None)
+        if lab is None:
+            lab = comp(*args)
+        return np.asarray(lab)
+
+    fit_predict.num_clusters = meta["num_clusters"]
+    return fit_predict
 
 
 def load_poisson_pack(W, path: str, warm: bool = True):

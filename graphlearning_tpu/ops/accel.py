@@ -1207,9 +1207,9 @@ def _eig_norm_accel(gp, band, resid, winstart, rrows, rslots, s_p, X0, *,
         return X + s_p[:, None] * spmm(s_p[:, None] * X)
 
     def op(Y):
-        for _ in range(power):
-            Y = A(Y)
-        return Y
+        # rolled loop: unrolling the band-kernel body `power` times
+        # inflates the compiled executable (see ops/gather.py eig note)
+        return jax.lax.fori_loop(0, power, lambda i, Z: A(Z), Y)
 
     theta, U, iters = lobpcg_standard(op, X0, m=m)
     AU = A(U)

@@ -883,9 +883,9 @@ def _eig_sharded(g, deg, valid, key, *, k, power, normalization, m=200):
         raise ValueError("Invalid normalization " + normalization)
 
     def op(X):
-        for _ in range(power):
-            X = base(X)
-        return X
+        # rolled: one sharded-spmm body regardless of `power` (keeps the
+        # GSPMD program small; see ops/gather.py eig note)
+        return jax.lax.fori_loop(0, power, lambda i, Y: base(Y), X)
 
     X0 = jax.random.normal(key, (n, k), dtype=dtype)
     X0 = jnp.where(valid[:, None], X0, 0.0)

@@ -47,9 +47,9 @@ def _lobpcg_topk(matvec, n, k, tol, key=None, m=200, dtype=None, power=1):
         op = matvec
     else:
         def op(Y):
-            for _ in range(power):
-                Y = matvec(Y)
-            return Y
+            # rolled (fori_loop) to keep the compiled program one matvec
+            # body deep regardless of `power` (see ops/gather.py eig note)
+            return jax.lax.fori_loop(0, power, lambda i, Z: matvec(Z), Y)
 
     theta, U, iters = lobpcg_standard(op, X, m=m, tol=tol if tol else None)
     return theta, U

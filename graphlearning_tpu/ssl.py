@@ -457,6 +457,12 @@ def warmup(model, num_classes=2, num_train=None, seed=0):
     ``num_classes`` must match the later fit's class count (the one-hot
     width is a compiled shape).  Returns the model for chaining:
     ``gl.warmup(gl.ssl.poisson(W), 10).fit_predict(ti, tl)``.
+
+    For FRESH processes (where even a cache-warm compile pays tunnel
+    round trips), ``gl.aot`` packs skip tracing/compilation entirely:
+    ``save_poisson_pack`` / ``save_laplace_pack`` / ``save_spectral_pack``
+    serialize the whole compiled fit once per graph geometry, and the
+    ``load_*`` twins return ready-to-call ``fit_predict`` callables.
     """
     rs = np.random.RandomState(seed)
     n = model.graph.num_nodes

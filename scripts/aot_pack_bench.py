@@ -1,10 +1,14 @@
 """AOT pack fresh-process measurement (VERDICT r3 item 9 'Done'
-criterion): process A builds + saves the config-2-shape Poisson pack;
-process B (FRESH) loads it and runs the first fit — target < 5 s.
+criterion): process A builds + saves a flagship-shape pack; process B
+(FRESH) loads it and runs the first fit.
 
-Run:  python scripts/aot_pack_bench.py save
-      python scripts/aot_pack_bench.py load      # in a fresh process
+Run:  python scripts/aot_pack_bench.py save [poisson|laplace|spectral]
+      python scripts/aot_pack_bench.py load [kind]    # fresh process
+
+Kinds: poisson (config 2), laplace (config 5b shape, same graph) and
+spectral (config 3 — the worst observed tunnel cold-compile, 479 s).
 """
+import os
 import sys
 import time
 
@@ -15,34 +19,80 @@ sys.path.insert(0, "/root/repo")
 t_start = time.time()
 import graphlearning_tpu as gl
 
-W = sp.load_npz("/tmp/calib_graph_n70000_k10_d30.npz")
+CACHE = "/tmp/calib_graph_n70000_k10_d30.npz"
+if os.path.exists(CACHE):
+    W = sp.load_npz(CACHE)
+else:
+    rs = np.random.RandomState(0)
+    centers0 = rs.randn(10, 30) * 1.0
+    labels0 = rs.randint(0, 10, 70000)
+    pts = (centers0[labels0] + rs.randn(70000, 30)).astype(np.float32)
+    W = gl.weightmatrix.knn(pts, 10).tocsr()
+    sp.save_npz(CACHE, W)
 rs = np.random.RandomState(0)
 centers = rs.randn(10, 30) * 1.0
 labels = rs.randint(0, 10, 70000)
 train_ind = gl.trainsets.generate(labels, rate=1, seed=0)
-PACK = "/tmp/poisson_n70000.pack"
+
+KIND = sys.argv[2] if len(sys.argv) > 2 else "poisson"
+PACK = f"/tmp/{KIND}_n70000.pack"
+
+SAVE = {"poisson": lambda: gl.aot.save_poisson_pack(W, 10, PACK, tol=1e-3),
+        "laplace": lambda: gl.aot.save_laplace_pack(W, 10, PACK, tol=1e-5),
+        "spectral": lambda: gl.aot.save_spectral_pack(W, 10, PACK)}
+LOAD = {"poisson": lambda: gl.aot.load_poisson_pack(W, PACK),
+        "laplace": lambda: gl.aot.load_laplace_pack(W, PACK),
+        "spectral": lambda: gl.aot.load_spectral_pack(W, PACK)}
+
+
+def run_fit(fit):
+    if KIND == "spectral":
+        return fit()
+    return fit(train_ind, labels[train_ind])
+
+
+def ref_fit():
+    if KIND == "poisson":
+        return gl.ssl.poisson(W).fit_predict(train_ind, labels[train_ind])
+    if KIND == "laplace":
+        return gl.ssl.laplace(W, tol=1e-5).fit_predict(
+            train_ind, labels[train_ind])
+    return gl.clustering.spectral(W, num_clusters=10,
+                                  method="NgJordanWeiss").fit_predict()
+
+
+def score(pred):
+    if KIND == "spectral":
+        return f"cluster-acc {gl.clustering.clustering_accuracy(pred, labels):.2f}"
+    return f"acc {gl.ssl.ssl_accuracy(pred, labels, train_ind):.2f}"
+
 
 if sys.argv[1] == "save":
     t0 = time.time()
-    gl.aot.save_poisson_pack(W, 10, PACK, tol=1e-3)
-    print(f"pack saved in {time.time()-t0:.1f}s", flush=True)
-    fit = gl.aot.load_poisson_pack(W, PACK)
-    pred = fit(train_ind, labels[train_ind])
-    ref = gl.ssl.poisson(W).fit_predict(train_ind, labels[train_ind])
-    print(f"same-process parity: agree {np.mean(pred == ref):.4f} "
-          f"acc {gl.ssl.ssl_accuracy(pred, labels, train_ind):.2f}",
-          flush=True)
+    SAVE[KIND]()
+    print(f"{KIND} pack saved in {time.time()-t0:.1f}s "
+          f"({os.path.getsize(PACK)/1e6:.1f} MB)", flush=True)
+    fit = LOAD[KIND]()
+    pred = run_fit(fit)
+    ref = ref_fit()
+    if KIND == "spectral":
+        agree = gl.clustering.clustering_accuracy(pred, np.asarray(ref))
+        print(f"same-process parity: hungarian-agree {agree:.2f}% "
+              f"{score(pred)}", flush=True)
+    else:
+        print(f"same-process parity: agree {np.mean(pred == ref):.4f} "
+              f"{score(pred)}", flush=True)
 else:
     t0 = time.time()
-    fit = gl.aot.load_poisson_pack(W, PACK)
+    fit = LOAD[KIND]()
     t_load = time.time() - t0
     t0 = time.time()
-    pred = fit(train_ind, labels[train_ind])
+    pred = run_fit(fit)
     t_fit = time.time() - t0
-    acc = gl.ssl.ssl_accuracy(pred, labels, train_ind)
     total = time.time() - t_start
-    print(f"FRESH process: load {t_load:.2f}s first-fit {t_fit:.2f}s "
-          f"total-from-import {total:.2f}s acc {acc:.2f}", flush=True)
+    print(f"FRESH process [{KIND}]: load {t_load:.2f}s "
+          f"first-fit {t_fit:.2f}s total-from-import {total:.2f}s "
+          f"{score(pred)}", flush=True)
     t0 = time.time()
-    fit(train_ind, labels[train_ind])
+    run_fit(fit)
     print(f"second fit {time.time()-t0:.2f}s", flush=True)

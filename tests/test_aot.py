@@ -45,3 +45,92 @@ def test_poisson_pack_roundtrip(tmp_path):
         train_ind, labels[train_ind])
     agree = np.mean(pred == pred_ref)
     assert agree >= 0.99, agree
+
+
+def _cluster_graph(seed=0, n=700, ncls=3):
+    rs = np.random.RandomState(seed)
+    centers = rs.randn(ncls, 8) * 2.0
+    labels = rs.randint(0, ncls, n)
+    X = centers[labels] + rs.randn(n, 8)
+    W = gl.weightmatrix.knn(X, 8)
+    train_ind = np.concatenate(
+        [rs.choice(np.where(labels == c)[0], 4, replace=False)
+         for c in range(ncls)])
+    return W, labels, train_ind, rs
+
+
+def test_laplace_pack_roundtrip(tmp_path):
+    import jax
+
+    W, labels, train_ind, rs = _cluster_graph()
+    ncls = 3
+    path = str(tmp_path / "laplace.pack")
+    gl.aot.save_laplace_pack(W, ncls, path, tol=1e-8)
+    fit = gl.aot.load_laplace_pack(W, path)
+    assert fit.num_classes == ncls
+
+    with pytest.raises(ValueError, match="not a laplace pack"):
+        gl.aot.save_poisson_pack(W, ncls, str(tmp_path / "p.pack"))
+        gl.aot.load_laplace_pack(W, str(tmp_path / "p.pack"))
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("AOT execution parity is TPU-only on this host")
+    pred = fit(train_ind, labels[train_ind])
+    pred_ref = gl.ssl.laplace(W, tol=1e-8).fit_predict(
+        train_ind, labels[train_ind])
+    agree = np.mean(pred == pred_ref)
+    assert agree >= 0.99, agree
+
+
+def test_spectral_pack_roundtrip(tmp_path):
+    import jax
+
+    W, labels, _, _ = _cluster_graph()
+    path = str(tmp_path / "spectral.pack")
+    gl.aot.save_spectral_pack(W, 3, path)
+    fit = gl.aot.load_spectral_pack(W, path)
+    assert fit.num_clusters == 3
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("AOT execution parity is TPU-only on this host")
+    pred = fit()
+    acc = gl.clustering.clustering_accuracy(pred, labels)
+    assert acc > 80.0, acc
+
+
+def test_laplace_aot_program_parity():
+    """The PROGRAM inside the laplace pack (run via plain jit, no
+    serialization — the AOT loader is TPU-only on this host) predicts
+    identically to the model path."""
+    import jax.numpy as jnp
+
+    W, labels, train_ind, _ = _cluster_graph()
+    ncls = 3
+    acc, args = gl.aot._laplace_pack_args(W, ncls, 0.0, "combinatorial")
+    n = acc.n
+    classes = np.unique(labels[train_ind])
+    mask = np.zeros(n, np.int32)
+    mask[train_ind] = 1
+    bdy = np.zeros((n, ncls), np.float32)
+    bdy[train_ind] = (labels[train_ind][:, None]
+                      == classes[None, :]).astype(np.float32)
+    u = gl.aot._laplace_fit_aot(
+        *args[:7], jnp.asarray(mask), jnp.asarray(bdy), jnp.float32(1e-8),
+        segs=acc._segs, prec=acc.prec, normalization="combinatorial",
+        order=1)
+    pred = classes[np.argmax(np.asarray(u), axis=1)]
+    pred_ref = gl.ssl.laplace(W, tol=1e-8).fit_predict(
+        train_ind, labels[train_ind])
+    assert np.mean(pred == pred_ref) >= 0.99
+
+
+def test_spectral_aot_program_parity():
+    """The spectral pack's program clusters as well as the model path
+    (same eig + kmeans seeds; Hungarian-matched agreement)."""
+    W, labels, _, _ = _cluster_graph()
+    acc, args, kw = gl.aot._spectral_pack_args(W, 3, 0, 10, 50)
+    lab = np.asarray(gl.aot._spectral_fit_aot(*args, **kw))
+    ref = gl.clustering.spectral(
+        W, num_clusters=3, method="NgJordanWeiss").fit_predict()
+    agree = gl.clustering.clustering_accuracy(lab, np.asarray(ref))
+    assert agree > 95.0, agree

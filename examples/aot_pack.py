@@ -29,3 +29,15 @@ print("AOT-pack poisson accuracy:",
 # matches the regular model path exactly
 ref = gl.ssl.poisson(W, tol=1e-8).fit_predict(train_ind, labels[train_ind])
 print("agreement with gl.ssl.poisson:", float(np.mean(pred == ref)))
+
+# the same mechanism covers Laplace learning and spectral clustering
+gl.aot.save_laplace_pack(W, num_classes=2, path="/tmp/moons_laplace.pack")
+lpred = gl.aot.load_laplace_pack(W, "/tmp/moons_laplace.pack")(
+    train_ind, labels[train_ind])
+print("AOT-pack laplace accuracy:",
+      gl.ssl.ssl_accuracy(lpred, labels, train_ind))
+
+gl.aot.save_spectral_pack(W, num_clusters=2, path="/tmp/moons_spectral.pack")
+cpred = gl.aot.load_spectral_pack(W, "/tmp/moons_spectral.pack")()
+print("AOT-pack spectral accuracy:",
+      gl.clustering.clustering_accuracy(cpred, labels))

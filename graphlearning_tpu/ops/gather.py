@@ -33,6 +33,7 @@ iterations pay the permutation twice total, not per step.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -41,9 +42,19 @@ import jax.numpy as jnp
 from graphlearning_tpu import config as _config
 
 # segment kcap boundaries: padding within a segment is bounded by the
-# gap to the next boundary (≤33%); degree-0 rows fold into the first
+# gap to the next boundary (≤33%); degree-0 rows fold into the first.
+# GLT_GATHER_BOUNDS=dense selects a finer table (≤14% gap in the kNN
+# bulk) — more segments for less slot padding.  Measured on the 30-d
+# band-hostile headline graph (real v5e): padding 1.184 -> 1.026 but
+# throughput 225.7 -> 198.7 M e/s — the extra per-segment gather
+# launches cost more than the 13% slot savings, so the coarse table
+# stays the default (the knob remains for skewed-degree graphs).
 _BOUNDS = (4, 8, 12, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512,
            768, 1024, 2048, 4096)
+if os.environ.get("GLT_GATHER_BOUNDS") == "dense":
+    _BOUNDS = tuple(range(4, 64, 2)) + (
+        64, 72, 80, 88, 96, 112, 128, 160, 192, 224, 256, 320, 384,
+        448, 512, 640, 768, 1024, 1536, 2048, 3072, 4096)
 
 # measured v5e gather-table cliff (see module docstring): tables under
 # this stay at the ~4.5ns/row rate

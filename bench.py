@@ -124,6 +124,13 @@ def main():
         dt = time.perf_counter() - t0
         edges_per_s = nnz * iters / dt
 
+        # measured chained-iterate error vs the scipy f64 chain
+        Yr = X_np.astype(np.float64)
+        for _ in range(iters):
+            Yr = W @ Yr
+        Yh = np.asarray(Y)[np.asarray(inv)].astype(np.float64)
+        g_rel_err = float(np.abs(Yh - Yr).max() / np.abs(Yr).max())
+
         Xc = X_np.astype(np.float64)
         base_iters = max(1, iters // 10)
         W @ Xc
@@ -145,6 +152,7 @@ def main():
                 "slots": int(slots),
                 "slot_pad": round(slots / nnz, 3),
                 "ns_per_edge": round(dt / iters / nnz * 1e9, 2),
+                "rel_err": g_rel_err,
                 "baseline": "scipy CSR SpMM f64 host",
             },
             "baseline_edges_per_sec": round(base_edges_per_s, 1),
@@ -231,9 +239,7 @@ def main():
                         pack_tiles)
 
                     sb, sts, sbf, src = pack_tiles(tb, ts, bf, S)
-                    packed = pack_band(band, src, R=R, WT=WT)
                     band.delete()
-                    band = packed
                     slabs = (jnp.asarray(sb), jnp.asarray(sts),
                              jnp.asarray(sbf))
                     # bf16 X window tiles (GLT_BENCH_XDTYPE=bf16): halves
@@ -242,16 +248,32 @@ def main():
                     xdt = os.environ.get("GLT_BENCH_XDTYPE",
                                          xdt_tuned or "f32")
 
-                    @jax.jit
-                    def _packed_run(band_, sb_, sts_, sbf_, resid_, X):
-                        Xk = (X.astype(jnp.bfloat16) if xdt == "bf16"
-                              else X)
-                        out = band_tiles_spmm_packed(
-                            band_, sb_, sts_, sbf_, Xk, n=gp.n, R=R, WT=WT,
-                            S=S, mode=mode)
-                        return apply_residual(out, X, resid_)
+                    def build_packed_fn(mode_, xdt_):
+                        """(fn, band handle) for one (mode, X dtype): the
+                        published fast mode and the exact-CG-grade mode
+                        share planning/packing, differ in band dtype and
+                        X stream."""
+                        bdt = (jnp.bfloat16 if mode_ == "bf16"
+                               else jnp.float32)
+                        _m = jax.jit(
+                            lambda c, v, tb_, ts_: materialize_band_tiles(
+                                c, v, tb_, ts_, R=R, WT=WT, out_dtype=bdt))
+                        b0 = _m(cols_c, vals_c, tiles[0], tiles[1])
+                        pk = pack_band(b0, src, R=R, WT=WT)
+                        b0.delete()
 
-                    fn = lambda X: _packed_run(band, *slabs, resid, X)
+                        @jax.jit
+                        def _run(band_, sb_, sts_, sbf_, resid_, X):
+                            Xk = (X.astype(jnp.bfloat16) if xdt_ == "bf16"
+                                  else X)
+                            out = band_tiles_spmm_packed(
+                                band_, sb_, sts_, sbf_, Xk, n=gp.n, R=R,
+                                WT=WT, S=S, mode=mode_)
+                            return apply_residual(out, X, resid_)
+
+                        return (lambda X: _run(pk, *slabs, resid, X)), pk
+
+                    fn, band = build_packed_fn(mode, xdt)
                     kernel_name = f"pallas_tiles_packed_s{S}" + (
                         "_xbf16" if xdt == "bf16" else "")
                 else:
@@ -325,21 +347,64 @@ def main():
     # return before execution finishes (measured: reports 1000x too fast).
     # Ground truth = time from dispatch to a VALUE arriving on host, so the
     # timed region ends with a tiny device->host fetch of a slice of Y.
-    out = fn(X)
-    float(jnp.sum(out[0]))  # compile + warm up, forced to completion
-    # settle: the first chained sequence after compile can hit a one-time
-    # runtime anomaly (program load/paging); run a short fetched loop first
-    out = X
-    for _ in range(3):
-        out = fn(out)
-    float(jnp.sum(out[0]))
-    t0 = time.perf_counter()
-    Y = X
-    for _ in range(iters):
-        Y = fn(Y)  # chained: forces sequential real execution
-    float(jnp.sum(Y[0]))  # forces completion; 4-byte transfer
-    dt = time.perf_counter() - t0
+    def measure(f):
+        """(seconds, final chained iterate) of `iters` chained SpMMs."""
+        out = f(X)
+        float(jnp.sum(out[0]))  # compile + warm up, forced to completion
+        # settle: the first chained sequence after compile can hit a
+        # one-time runtime anomaly (program load/paging)
+        out = X
+        for _ in range(3):
+            out = f(out)
+        float(jnp.sum(out[0]))
+        t0 = time.perf_counter()
+        Y = X
+        for _ in range(iters):
+            Y = f(Y)  # chained: forces sequential real execution
+        float(jnp.sum(Y[0]))  # forces completion; 4-byte transfer
+        return time.perf_counter() - t0, Y
+
+    dt, Y = measure(fn)
     edges_per_s = nnz * iters / dt
+
+    # measured numerical error of the PUBLISHED mode (round-4 verdict
+    # item 2): the same `iters`-deep chained iterate in scipy f64 (the
+    # reference's precision, utils.py:523) vs the device chain, plus the
+    # single-application error (what each solver matvec sees)
+    Y_ref64 = X_np.astype(np.float64)
+    for _ in range(iters):
+        Y_ref64 = W @ Y_ref64
+    scale = np.abs(Y_ref64).max()
+    Y1_ref64 = W @ X_np.astype(np.float64)
+
+    def chain_rel_err(Ydev):
+        Yh = np.asarray(Ydev[:n]).astype(np.float64)
+        return float(np.abs(Yh - Y_ref64).max() / scale)
+
+    def single_rel_err(f):
+        Yh = np.asarray(f(X)[:n]).astype(np.float64)
+        return float(np.abs(Yh - Y1_ref64).max() / np.abs(Y1_ref64).max())
+
+    rel_err = chain_rel_err(Y)
+    rel_err_1 = single_rel_err(fn)
+
+    # exact-CG-grade companion measurement: when the published kernel is
+    # the reduced-precision packed mode, also time the bf16x3 (f32 band,
+    # f32 X) variant so BOTH numbers + errors ship in one JSON
+    modes_out = {}
+    if pallas_ok and kernel_name.startswith("pallas_tiles_packed") \
+            and mode == "bf16":
+        modes_out["bf16"] = {"edges_per_s": round(edges_per_s, 1),
+                             "rel_err_chain": rel_err,
+                             "rel_err_single": rel_err_1}
+        band.delete()
+        fn_x, band_x = build_packed_fn("bf16x3", "f32")
+        dt_x, Y_x = measure(fn_x)
+        modes_out["bf16x3"] = {
+            "edges_per_s": round(nnz * iters / dt_x, 1),
+            "rel_err_chain": chain_rel_err(Y_x),
+            "rel_err_single": single_rel_err(fn_x)}
+        band_x.delete()
 
     # traffic roofline (tiles kernel): per grid step one (R, WT) band tile
     # + one (WT, d) X tile; one (R, d) output block per row block.  The
@@ -349,8 +414,9 @@ def main():
     if pallas_ok and kernel_name.startswith("pallas_tiles"):
         b_band = 2 if mode == "bf16" else 4
         if kernel_name.startswith("pallas_tiles_packed"):
+            b_x = 2 if xdt == "bf16" else 4   # X tiles stream pre-cast
             G = len(sb)
-            traffic = (G * (R * S * WT * b_band + S * WT * d * 4)
+            traffic = (G * (R * S * WT * b_band + S * WT * d * b_x)
                        + (gp.n // R) * R * d * 4)
         else:
             G = len(tb)
@@ -390,6 +456,11 @@ def main():
             "kcap": int(kcap) if pallas_ok else 0,
             "band_build_s": round(band_build_s, 4) if pallas_ok else 0.0,
             "baseline": "scipy CSR SpMM f64 host",
+            # max|Y - Y_ref64| / max|Y_ref64| of the PUBLISHED mode vs
+            # scipy f64: the full `iters`-deep chain and one application
+            "rel_err_chain": rel_err,
+            "rel_err_single": rel_err_1,
+            **({"modes": modes_out} if modes_out else {}),
             **roofline,
         },
         "baseline_edges_per_sec": round(base_edges_per_s, 1),

@@ -14,7 +14,13 @@ deserializes and CALLS it — no tracing, no compile, no tunnel round trip
 The pack is graph-shape-specific (it embeds the degree-segment geometry
 of the :class:`ops.gather.GatherAccel` operator) and device-specific
 (an XLA executable).  Reference has no equivalent (scipy needs no
-compilation; SURVEY.md §5 checkpoint/persistence rows)."""
+compilation; SURVEY.md §5 checkpoint/persistence rows).
+
+.. warning:: SECURITY — packs are pickle files (the serialized
+   executable's in/out pytree defs are not JSON-representable).  Loading
+   a pack runs ``pickle.load``, which is arbitrary code execution; only
+   load packs YOU saved or that come from a trusted source, exactly like
+   a ``torch.load`` checkpoint."""
 
 from __future__ import annotations
 
@@ -74,6 +80,38 @@ def save_poisson_pack(W, num_classes: int, path: str, tol: float = 1e-3):
                      "segs": acc._segs, "prec": acc.prec,
                      "nnz": acc.nnz}, fh)
     return path
+
+
+def _robust_exec(comp, jit_call):
+    """Wrap a deserialized executable with a jit-recompile fallback.
+
+    XLA:CPU's thunk-runtime AOT deserializer intermittently drops fusion
+    thunks for some program/shape combinations — the loaded executable
+    then fails at result fetch with ``NOT_FOUND: Buffer Definition
+    Event: Function <fusion> not found`` (measured round 5; process- and
+    graph-structure-dependent, upstream bug).  On that specific error
+    the wrapper permanently switches to jit-compiling the IDENTICAL
+    program (same semantics, pays one trace+compile); every other error
+    propagates.  TPU loads are unaffected."""
+    state = {"broken": False}
+
+    def call(*args):
+        if not state["broken"]:
+            try:
+                return np.asarray(comp(*args))
+            except Exception as e:   # jaxlib runtime error types vary
+                if "Buffer Definition Event" not in str(e):
+                    raise
+                import warnings
+
+                warnings.warn(
+                    "XLA:CPU AOT loader produced a corrupt executable "
+                    "(upstream thunk-deserialization bug); falling back "
+                    "to jit-compiling the pack program")
+                state["broken"] = True
+        return np.asarray(jit_call(*args))
+
+    return call
 
 
 def _nodiag(W):
@@ -138,11 +176,12 @@ def _laplace_pack_args(W, num_classes, tau, normalization):
     n = acc.n
     deg = np.asarray(Wc.sum(1)).ravel().astype(np.float32)
     dW = np.asarray(Wc.diagonal()).ravel().astype(np.float32)
-    # diag(L) per normalization (ops.graphops.laplacian_diag semantics)
+    # diag(L) per normalization — SAME formula (incl. the isolated-node
+    # guard) as ops.graphops.laplacian_diag so pack and model paths agree
     if normalization == "combinatorial":
         diagL = deg - dW
-    else:  # randomwalk / normalized
-        diagL = 1.0 - dW / np.maximum(deg, 1e-30)
+    else:  # randomwalk / normalized; degree-0 rows are identity rows
+        diagL = np.where(deg > 0, 1.0 - dW / np.maximum(deg, 1e-30), 1.0)
     args = (acc.cols, acc.vals, acc._order_dev, acc._inv_dev,
             jnp.asarray(deg), jnp.asarray(diagL.astype(np.float32)),
             jnp.full((n,), np.float32(tau)),
@@ -170,6 +209,9 @@ def load_laplace_pack(W, path: str, warm: bool = True):
             f"graph has {acc._segs} (n={acc.n})")
     comp = se.deserialize_and_load(*meta["blob"],
                                    execution_devices=jax.devices()[:1])
+    call = _robust_exec(comp, lambda *a: _laplace_fit_aot(
+        *a, segs=tuple(meta["segs"]), prec=meta["prec"],
+        normalization=meta["normalization"], order=int(meta["order"])))
     n, C = meta["n"], meta["num_classes"]
     if warm:
         comp(*args, jnp.float32(meta["tol"]))
@@ -186,9 +228,9 @@ def load_laplace_pack(W, path: str, warm: bool = True):
         bdy = np.zeros((n, C), np.float32)
         bdy[train_ind] = (train_labels[:, None]
                           == classes[None, :]).astype(np.float32)
-        u = comp(*args[:7], jnp.asarray(mask), jnp.asarray(bdy),
+        u = call(*args[:7], jnp.asarray(mask), jnp.asarray(bdy),
                  jnp.float32(meta["tol"]))
-        return classes[np.argmax(np.asarray(u), axis=1)]
+        return classes[np.argmax(u, axis=1)]
 
     fit_predict.num_classes = C
     return fit_predict
@@ -268,7 +310,7 @@ def load_spectral_pack(W, path: str, warm: bool = True):
         meta = pickle.load(fh)
     if meta.get("kind") != "spectral":
         raise ValueError(f"not a spectral pack: {meta.get('kind')}")
-    acc, args, _ = _spectral_pack_args(
+    acc, args, kw_ = _spectral_pack_args(
         W, meta["num_clusters"], meta["extra_dim"], meta["n_init"],
         meta["km_iter"])
     if tuple(acc._segs) != tuple(meta["segs"]) or acc.n != meta["n"]:
@@ -278,15 +320,12 @@ def load_spectral_pack(W, path: str, warm: bool = True):
             f"graph has {acc._segs} (n={acc.n})")
     comp = se.deserialize_and_load(*meta["blob"],
                                    execution_devices=jax.devices()[:1])
-    state = {}
+    call = _robust_exec(comp, lambda *a: _spectral_fit_aot(*a, **kw_))
     if warm:
-        state["pending"] = comp(*args)
+        comp(*args)   # async program/buffer load overlap
 
     def fit_predict():
-        lab = state.pop("pending", None)
-        if lab is None:
-            lab = comp(*args)
-        return np.asarray(lab)
+        return call(*args)
 
     fit_predict.num_clusters = meta["num_clusters"]
     return fit_predict
@@ -321,6 +360,8 @@ def load_poisson_pack(W, path: str, warm: bool = True):
     # local devices, which breaks on multi-device/virtual-mesh hosts)
     comp = se.deserialize_and_load(*meta["blob"],
                                    execution_devices=jax.devices()[:1])
+    call = _robust_exec(comp, lambda *a: _poisson_fit_g(
+        *a, segs=tuple(meta["segs"]), prec=meta["prec"]))
     n, C = meta["n"], meta["num_classes"]
     if warm:
         # async dispatch (NOT blocked on): the device loads the program
@@ -339,9 +380,9 @@ def load_poisson_pack(W, path: str, warm: bool = True):
             np.float32)
         b = np.zeros((n, C), np.float32)
         b[train_ind] = onehot - onehot.mean(0)
-        u = comp(acc.cols, acc.vals, acc._order_dev, acc._inv_dev,
+        u = call(acc.cols, acc.vals, acc._order_dev, acc._inv_dev,
                  jnp.asarray(b), jnp.float32(meta["tol"]))
-        return classes[np.argmax(np.asarray(u), axis=1)]
+        return classes[np.argmax(u, axis=1)]
 
     fit_predict.num_classes = C
     return fit_predict

@@ -84,10 +84,16 @@ class spectral(clustering):
 
     _sharded_supported = True
 
-    def __init__(self, W, num_clusters, method="NgJordanWeiss", extra_dim=0):
+    def __init__(self, W, num_clusters, method="NgJordanWeiss", extra_dim=0,
+                 seed=0):
         super().__init__(W, num_clusters)
         self.method = method
         self.extra_dim = extra_dim
+        # seed=0 (not None): the embedding is deterministic, so a seeded
+        # k-means makes the whole fit reproducible by default; pass
+        # seed=None for reference-style global-RNG restarts
+        # (clustering.py:197 sklearn KMeans(random_state=None))
+        self.seed = seed
 
     def _fit(self, all_labels=None):
         from graphlearning_tpu.solvers.kmeans import kmeans
@@ -121,7 +127,9 @@ class spectral(clustering):
         if self.method == "NgJordanWeiss":
             norms = jnp.sqrt(jnp.sum(vec * vec, axis=1))
             vec = vec / jnp.maximum(norms[:, None], 1e-30)
-        return kmeans(vec, self.num_clusters, n_init=10)
+        seed = (int(np.random.randint(2**31)) if self.seed is None
+                else int(self.seed))
+        return kmeans(vec, self.num_clusters, n_init=10, seed=seed)
 
 
 class fokker_planck(clustering):
@@ -130,11 +138,12 @@ class fokker_planck(clustering):
     and the mean-shift generator, run ``expm(Qt)`` (device dense expm),
     KMeans the rows."""
 
-    def __init__(self, W, num_clusters, beta=0.5, t=1, rho=None):
+    def __init__(self, W, num_clusters, beta=0.5, t=1, rho=None, seed=None):
         super().__init__(W, num_clusters)
         self.beta = beta
         self.t = t
         self.rho = np.ones(self.graph.num_nodes) if rho is None else np.asarray(rho)
+        self.seed = seed
 
     def _fit(self, all_labels=None):
         import scipy.sparse as sp
@@ -155,7 +164,11 @@ class fokker_planck(clustering):
         # seconds host-side (and a large device->host transfer)
         from graphlearning_tpu.solvers.kmeans import kmeans
 
-        return kmeans(expQt, self.num_clusters, n_init=10)
+        # seed=None: global-RNG-driven restarts (the reference's sklearn
+        # KMeans with random_state=None, clustering.py:278)
+        seed = (int(np.random.randint(2**31)) if self.seed is None
+                else int(self.seed))
+        return kmeans(expQt, self.num_clusters, n_init=10, seed=seed)
 
 
 class incres(clustering):
@@ -177,7 +190,11 @@ class incres(clustering):
         n, k = G.num_nodes, self.num_clusters
         g = G.sparse
         deg = _ops.degree_vector(g)
-        rs = np.random.RandomState(self.seed)
+        # seed=None consumes the GLOBAL numpy RNG (reference
+        # clustering.py:337,355 semantics); explicit seed reproduces
+        rs = np.random if self.seed is None else np.random.RandomState(self.seed)
+        dev_seed = (int(np.random.randint(2**31)) if self.seed is None
+                    else int(self.seed))
 
         Dm = max(int(self.speed * 1e-4 * n / k), 1)
         u = rs.randint(0, k, size=n)
@@ -195,10 +212,10 @@ class incres(clustering):
                 from graphlearning_tpu.parallel import execute as _exec
 
                 return _exec.incres_fit_sharded(
-                    dist, G.weight_matrix, u, self.seed, k=k, T=self.T,
+                    dist, G.weight_matrix, u, dev_seed, k=k, T=self.T,
                     Dm=Dm)
 
-            key = jax.random.PRNGKey(0 if self.seed is None else self.seed)
+            key = jax.random.PRNGKey(dev_seed)
             acc = _accel.maybe_build(G.weight_matrix, cache_obj=self,
                                      attr="_accel_incres", exact=False,
                                      fast=True)

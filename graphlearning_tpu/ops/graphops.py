@@ -139,10 +139,11 @@ def laplacian_diag(g: SparseGraph, normalization="combinatorial", deg=None):
     dW = diagonal(g)
     if normalization == "combinatorial":
         return deg - dW
-    elif normalization == "randomwalk":
-        return 1.0 - dW / deg
-    elif normalization == "normalized":
-        return 1.0 - dW / deg
+    elif normalization in ("randomwalk", "normalized"):
+        # isolated (degree-0) nodes: L row is the identity row, diag 1.0
+        # (guard shared with aot._laplace_pack_args so pack and model
+        # paths agree on such graphs)
+        return jnp.where(deg > 0, 1.0 - dW / jnp.maximum(deg, 1e-30), 1.0)
     else:
         raise ValueError(f"normalization must be one of {_NORMS}")
 

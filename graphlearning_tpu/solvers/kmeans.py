@@ -26,9 +26,13 @@ def _kmeans_all(X, key, k: int, n_init: int, max_iter: int):
     n, d = X.shape
     Xsq = jnp.sum(X * X, axis=1)
 
+    # greedy k-means++ (sklearn's _kmeans_plusplus): L candidates per
+    # step, keep the one minimizing the resulting total potential —
+    # measurably better basins than plain ++ (digits expQt embedding:
+    # mean accuracy 70.8 -> sklearn-parity with greedy)
+    L = 2 + int(np.log(max(k, 2)))
+
     def plus_plus_init(key):
-        """k-means++ seeding: first center uniform, each next sampled with
-        probability ∝ squared distance to the nearest chosen center."""
         k0, key = jax.random.split(key)
         first = jax.random.randint(k0, (), 0, n)
         C = jnp.zeros((k, d), X.dtype).at[0].set(X[first])
@@ -38,14 +42,18 @@ def _kmeans_all(X, key, k: int, n_init: int, max_iter: int):
         def body(i, state):
             C, d2, key = state
             kc, key = jax.random.split(key)
-            # sample ∝ d2 via the Gumbel-max trick on log d2 (categorical
-            # without normalizing); zero-distance points get -inf logits
+            # L samples ∝ d2 via categorical on log d2 (Gumbel-max trick,
+            # no normalizing); zero-distance points get -inf logits
             logits = jnp.where(d2 > 0, jnp.log(d2), -jnp.inf)
-            idx = jax.random.categorical(kc, logits)
-            c = X[idx]
-            C = C.at[i].set(c)
-            d2c = Xsq - 2.0 * (X @ c) + jnp.sum(c * c)
-            d2 = jnp.minimum(d2, jnp.maximum(d2c, 0.0))
+            idx = jax.random.categorical(kc, logits, shape=(L,))
+            Cand = X[idx]                                    # (L, d)
+            d2c = jnp.maximum(
+                Xsq[None, :] - 2.0 * (Cand @ X.T)
+                + jnp.sum(Cand * Cand, axis=1)[:, None], 0.0)  # (L, n)
+            pot = jnp.sum(jnp.minimum(d2[None, :], d2c), axis=1)
+            best = jnp.argmin(pot)
+            C = C.at[i].set(Cand[best])
+            d2 = jnp.minimum(d2, d2c[best])
             return C, d2, key
 
         C, _, _ = jax.lax.fori_loop(1, k, body, (C, d2, key))
@@ -75,8 +83,20 @@ def _kmeans_all(X, key, k: int, n_init: int, max_iter: int):
             return Cn, ln, done | ~moved
 
         lab0, _ = assign(C)
-        C, lab, _ = jax.lax.fori_loop(
-            0, max_iter, body, (C, lab0, jnp.array(False)))
+        # while_loop (not fori): under vmap this runs to the max over
+        # restarts of the CONVERGENCE time, not always max_iter — sklearn
+        # runs to tol/convergence the same way
+        def cond(state):
+            i, C, lab, done = state
+            return (i < max_iter) & ~done
+
+        def wbody(state):
+            i, C, lab, done = state
+            C, lab, done = body(i, (C, lab, done))
+            return i + 1, C, lab, done
+
+        _, C, lab, _ = jax.lax.while_loop(
+            cond, wbody, (0, C, lab0, jnp.array(False)))
         _, inertia = assign(C)
         return lab.astype(jnp.int32), inertia
 
@@ -86,7 +106,7 @@ def _kmeans_all(X, key, k: int, n_init: int, max_iter: int):
     return labs[best], inertias[best]
 
 
-def kmeans(X, k: int, n_init: int = 10, max_iter: int = 50, seed: int = 0):
+def kmeans(X, k: int, n_init: int = 10, max_iter: int = 300, seed: int = 0):
     """Cluster rows of ``X`` (device or host array) into ``k`` clusters.
 
     Returns an int32 label array ON DEVICE (callers decide when to pull it

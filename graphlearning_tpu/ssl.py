@@ -1142,7 +1142,7 @@ class volume_mbo(ssl):
       thresholding, mbo_convolution.cpp:770-802 analogue)."""
 
     def __init__(self, W=None, class_priors=None, temperature=0.1,
-                 volume_constraint=0.5, max_iters=300, seed=0):
+                 volume_constraint=0.5, max_iters=300, seed=None):
         super().__init__(W, None)
         if class_priors is None:
             sys.exit("Class priors must be provided for Volume MBO.")
@@ -1210,7 +1210,12 @@ class volume_mbo(ssl):
                 a = _ops.spmm(g, a) / deg[:, None]
                 return a
 
-        key = jax.random.PRNGKey(self.seed)
+        # seed=None: draw the device-RNG seed from the GLOBAL numpy RNG —
+        # the reference's Monte-Carlo thresholding is srand-driven
+        # (mbo_convolution.cpp:770-802), i.e. stochastic per fit
+        key = jax.random.PRNGKey(
+            int(np.random.randint(2**31)) if self.seed is None
+            else int(self.seed))
         temp = self.temperature
         dist = getattr(self, "_dist", None)
         if dist is not None and all_labels is None:
@@ -1301,7 +1306,7 @@ class multiclass_mbo(ssl):
     Ns-step diffusion is dense (num_eig-rank) matmuls — fully on device."""
 
     def __init__(self, W=None, class_priors=None, Ns=6, T=10, dt=0.15, mu=50,
-                 num_eig=50, seed=0):
+                 num_eig=50, seed=None):
         super().__init__(W, class_priors)
         self.Ns, self.T, self.dt, self.mu, self.num_eig = Ns, T, dt, mu, num_eig
         self.seed = seed
@@ -1329,7 +1334,10 @@ class multiclass_mbo(ssl):
         X = jnp.asarray(X, dtype=dtype)
         V = jnp.asarray(1.0 / (1.0 + (dt / Ns) * eigvals), dtype=dtype)
 
-        rs = np.random.RandomState(self.seed)
+        # seed=None consumes the GLOBAL numpy RNG — the reference's
+        # semantics (ssl.py:978 np.random.rand) — so repeated fits are
+        # genuinely stochastic; an explicit seed gives reproducibility
+        rs = np.random if self.seed is None else np.random.RandomState(self.seed)
         u0 = utils.labels_to_onehot(rs.rand(n, k).argmax(axis=1), k)
         u0[train_ind] = utils.labels_to_onehot(train_labels, k)
         J = np.zeros((n, 1))

@@ -73,8 +73,13 @@ def make_pallas_loop(T, G, d, BG):
     """Per-row dynamic-slice copy loop."""
 
     def kernel(idx_ref, table_ref, out_ref):
+        # idx is UNBLOCKED (full (G,) in SMEM) while out is blocked per
+        # grid step — offset by the grid position so each block reads
+        # its own indices
+        base = pl.program_id(0) * BG
+
         def body(i, _):
-            j = idx_ref[i]
+            j = idx_ref[base + i]
             out_ref[pl.ds(i, 1), :] = table_ref[pl.ds(j, 1), :]
             return 0
 

@@ -1,9 +1,13 @@
 """AOT warmup packs (aot.py): save/load round trip reproduces the
 poisson model's predictions without tracing or compiling at load time
-(round-3 verdict item 9).  On this container's CPU backend the XLA:CPU
-AOT loader can refuse executables (compile-helper machine-feature
-mismatch) — execution then skips; the authoritative fresh-process
-timing + parity run on the real TPU in scripts/aot_pack_bench.py."""
+(round-3 verdict item 9).  Execution parity runs on the CPU backend too
+(round-4 verdict item 7): XLA:CPU's AOT deserializer intermittently
+drops fusion thunks for some program/shape combinations ("Buffer
+Definition Event: Function ... not found", upstream bug) — the loaders
+detect exactly that error and self-heal by jit-compiling the identical
+program (aot._robust_exec), so load -> correct predictions holds
+everywhere.  The authoritative fresh-process timing runs on the real
+TPU in scripts/aot_pack_bench.py."""
 
 import numpy as np
 import pytest
@@ -12,9 +16,13 @@ import graphlearning_tpu as gl
 
 
 def test_poisson_pack_roundtrip(tmp_path):
+    # spread 1.2 keeps the kNN graph CONNECTED (spread 2.0 gives 2
+    # components -> singular normalized Laplacian; CG solutions then
+    # differ by kernel components and pack-vs-model agreement is
+    # undefined, exactly like the reference on disconnected graphs)
     rs = np.random.RandomState(0)
     n, ncls = 700, 3
-    centers = rs.randn(ncls, 8) * 2.0
+    centers = rs.randn(ncls, 8) * 1.2
     labels = rs.randint(0, ncls, n)
     X = centers[labels] + rs.randn(n, 8)
     W = gl.weightmatrix.knn(X, 8)
@@ -32,14 +40,6 @@ def test_poisson_pack_roundtrip(tmp_path):
     with pytest.raises(ValueError, match="geometry mismatch"):
         gl.aot.load_poisson_pack(W2, path)
 
-    import jax
-
-    if jax.default_backend() != "tpu":
-        # this container's XLA:CPU AOT loader was built for different
-        # machine features and can crash OR silently miscompute — the
-        # execution parity is only meaningful on the real backend
-        # (measured on TPU: agree 1.0000, scripts/aot_pack_bench.py)
-        pytest.skip("AOT execution parity is TPU-only on this host")
     pred = fit(train_ind, labels[train_ind])
     pred_ref = gl.ssl.poisson(W, tol=1e-8).fit_predict(
         train_ind, labels[train_ind])
@@ -49,7 +49,7 @@ def test_poisson_pack_roundtrip(tmp_path):
 
 def _cluster_graph(seed=0, n=700, ncls=3):
     rs = np.random.RandomState(seed)
-    centers = rs.randn(ncls, 8) * 2.0
+    centers = rs.randn(ncls, 8) * 1.2   # connected (see roundtrip note)
     labels = rs.randint(0, ncls, n)
     X = centers[labels] + rs.randn(n, 8)
     W = gl.weightmatrix.knn(X, 8)
@@ -60,8 +60,6 @@ def _cluster_graph(seed=0, n=700, ncls=3):
 
 
 def test_laplace_pack_roundtrip(tmp_path):
-    import jax
-
     W, labels, train_ind, rs = _cluster_graph()
     ncls = 3
     path = str(tmp_path / "laplace.pack")
@@ -69,12 +67,10 @@ def test_laplace_pack_roundtrip(tmp_path):
     fit = gl.aot.load_laplace_pack(W, path)
     assert fit.num_classes == ncls
 
+    gl.aot.save_poisson_pack(W, ncls, str(tmp_path / "p.pack"))
     with pytest.raises(ValueError, match="not a laplace pack"):
-        gl.aot.save_poisson_pack(W, ncls, str(tmp_path / "p.pack"))
         gl.aot.load_laplace_pack(W, str(tmp_path / "p.pack"))
 
-    if jax.default_backend() != "tpu":
-        pytest.skip("AOT execution parity is TPU-only on this host")
     pred = fit(train_ind, labels[train_ind])
     pred_ref = gl.ssl.laplace(W, tol=1e-8).fit_predict(
         train_ind, labels[train_ind])
@@ -83,16 +79,12 @@ def test_laplace_pack_roundtrip(tmp_path):
 
 
 def test_spectral_pack_roundtrip(tmp_path):
-    import jax
-
     W, labels, _, _ = _cluster_graph()
     path = str(tmp_path / "spectral.pack")
     gl.aot.save_spectral_pack(W, 3, path)
     fit = gl.aot.load_spectral_pack(W, path)
     assert fit.num_clusters == 3
 
-    if jax.default_backend() != "tpu":
-        pytest.skip("AOT execution parity is TPU-only on this host")
     pred = fit()
     acc = gl.clustering.clustering_accuracy(pred, labels)
     assert acc > 80.0, acc
@@ -100,8 +92,7 @@ def test_spectral_pack_roundtrip(tmp_path):
 
 def test_laplace_aot_program_parity():
     """The PROGRAM inside the laplace pack (run via plain jit, no
-    serialization — the AOT loader is TPU-only on this host) predicts
-    identically to the model path."""
+    serialization) predicts identically to the model path."""
     import jax.numpy as jnp
 
     W, labels, train_ind, _ = _cluster_graph()

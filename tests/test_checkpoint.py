@@ -75,13 +75,13 @@ def test_volume_mbo_checkpoint_resume(clusters, tmp_path, monkeypatch):
     priors = gl.utils.class_priors(labels)
 
     m0 = gl.ssl.volume_mbo(W, class_priors=priors, temperature=0.1,
-                           max_iters=60)
+                           max_iters=60, seed=0)
     pred0 = m0.fit_predict(train_ind, labels[train_ind],
                            checkpoint_path=str(tmp_path / "vmbo_ref"),
                            checkpoint_every=5)
 
     m1 = gl.ssl.volume_mbo(W, class_priors=priors, temperature=0.1,
-                           max_iters=60)
+                           max_iters=60, seed=0)
     killer = _KillAfter(1, ckpt.save)
     monkeypatch.setattr(ckpt, "save", killer)
     with pytest.raises(RuntimeError, match="simulated kill"):
@@ -92,7 +92,7 @@ def test_volume_mbo_checkpoint_resume(clusters, tmp_path, monkeypatch):
     # resume replays the identical annealing-noise sequence (the PRNG key
     # is part of the checkpointed state) -> identical labels
     m2 = gl.ssl.volume_mbo(W, class_priors=priors, temperature=0.1,
-                           max_iters=60)
+                           max_iters=60, seed=0)
     pred2 = m2.fit_predict(train_ind, labels[train_ind],
                            checkpoint_path=path, checkpoint_every=5)
     assert np.array_equal(pred2, pred0)

@@ -97,8 +97,9 @@ def test_poisson_mbo_sharded(mesh, clusters):
 def test_volume_mbo_sharded(mesh, clusters):
     W, labels, train_ind = clusters
     priors = gl.utils.class_priors(labels)
-    m_sh = gl.ssl.volume_mbo(W, class_priors=priors).distribute(mesh)
-    m_ref = gl.ssl.volume_mbo(W, class_priors=priors)
+    m_sh = gl.ssl.volume_mbo(W, class_priors=priors,
+                             seed=0).distribute(mesh)
+    m_ref = gl.ssl.volume_mbo(W, class_priors=priors, seed=0)
     _check(m_sh, m_ref, train_ind, labels, min_agree=0.98)
 
 
@@ -212,9 +213,10 @@ def test_banded_sharded_models_parity(band_cfg, clusters):
     _check(gl.ssl.poisson(W, solver="gradient_descent").distribute(band_cfg),
            gl.ssl.poisson(W, solver="gradient_descent"), train_ind, labels)
     priors = gl.utils.class_priors(labels)
-    _check(gl.ssl.volume_mbo(W, class_priors=priors).distribute(band_cfg),
-           gl.ssl.volume_mbo(W, class_priors=priors), train_ind, labels,
-           min_agree=0.98)
+    _check(gl.ssl.volume_mbo(W, class_priors=priors,
+                             seed=0).distribute(band_cfg),
+           gl.ssl.volume_mbo(W, class_priors=priors, seed=0), train_ind,
+           labels, min_agree=0.98)
 
 
 def test_banded_eigensolver_parity(band_cfg, clusters):
@@ -254,8 +256,9 @@ def test_sharded_mbo_and_slp_families(mesh, clusters):
     W, labels, train_ind = clusters
     # weak models: check sharded==unsharded agreement, not accuracy
     for cls in (gl.ssl.multiclass_mbo, gl.ssl.modularity_mbo):
-        m_sh = cls(W).distribute(mesh)
-        m_ref = cls(W)
+        kw = {"seed": 0} if cls is gl.ssl.multiclass_mbo else {}
+        m_sh = cls(W, **kw).distribute(mesh)
+        m_ref = cls(W, **kw)
         pred_ref = m_ref.fit_predict(train_ind, labels[train_ind])
         pred_sh = m_sh.fit_predict(train_ind, labels[train_ind])
         assert np.mean(pred_sh == pred_ref) > 0.9

@@ -41,7 +41,7 @@ def test_volume_mbo(moons):
 
 def test_volume_mbo_temperature(moons):
     W, X, labels, train_ind, priors = moons
-    model = gl.ssl.volume_mbo(W, priors, temperature=0.1)
+    model = gl.ssl.volume_mbo(W, priors, temperature=0.1, seed=0)
     acc = _acc(model, moons)
     assert acc > 85.0, acc
 

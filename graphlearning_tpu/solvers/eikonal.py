@@ -337,17 +337,36 @@ def _peikonal_jacobi_mc(g: SparseGraph, u0, bdy_mask, f, tol,
     big = jnp.asarray(jnp.finfo(u0.dtype).max, u0.dtype)
     w = g.vals
     wsum = jnp.sum(jnp.where(mask, w, 0.0), axis=1)
-    # bisection bracket (valid for ALL p >= 1, including p = 1:
-    # op(u_min + (f/Σw)^{1/p}) <= f <= op(u_max + (f/Σw)^{1/p}), both by
-    # Jensen-type bounds) — the batched path uses bisection even at p=1
-    # because the sorted prefix-scan solve costs an (n, k, C) sort per
-    # round, which dominates everything else at hub degrees (k > 100)
+    # p=1 at kNN-scale slot widths: exact sorted prefix-scan node solve
+    # (hjsolvers.cpp:265-286) — ONE (n, k, C) pass per Jacobi round
+    # instead of num_bisection_it(=30) bracket passes (measured: the
+    # bisection passes were the whole n=10k warm-time outlier).  Hub
+    # degrees (k > 32) keep bisection: there the (n, k, C) sort per
+    # round dominates everything else.
+    p_is_one = (float(p) == 1.0) and int(getattr(g, "k", 10**9)) <= 32
     inc = (f / jnp.maximum(wsum, 1e-30)) ** (1.0 / p)
     w3 = jnp.where(mask, w, 0.0)[:, :, None]
 
     def node_solve(u):
         # one gather per round (halo-exchange local take on a ShardedOp)
         un = _gops.neighbor_take(g, u)               # (n, k, C)
+        if p_is_one:
+            unm = jnp.where(mask[:, :, None], un, big)
+            order = jnp.argsort(unm, axis=1)
+            us = jnp.take_along_axis(unm, order, axis=1)
+            ws = jnp.take_along_axis(
+                jnp.broadcast_to(w3, unm.shape), order, axis=1)
+            wu = jnp.where(us >= big, 0.0, ws * us)
+            cw = jnp.cumsum(ws, axis=1)
+            cwu = jnp.cumsum(wu, axis=1)
+            t = (f[:, None, None] + cwu) / jnp.maximum(cw, 1e-30)
+            u_next = jnp.concatenate(
+                [us[:, 1:, :],
+                 jnp.full((us.shape[0], 1, us.shape[2]), big, u.dtype)],
+                axis=1)
+            kstar = jnp.argmax(t <= u_next, axis=1)     # (n, C)
+            return jnp.take_along_axis(
+                t, kstar[:, None, :], axis=1)[:, 0, :]
         a = jnp.min(jnp.where(mask[:, :, None], un, big), axis=1) + inc[:, None]
         b = (jnp.max(jnp.where(mask[:, :, None], un, -big), axis=1)
              + inc[:, None])

@@ -82,7 +82,7 @@ if sys.argv[1] == "save":
     else:
         print(f"same-process parity: agree {np.mean(pred == ref):.4f} "
               f"{score(pred)}", flush=True)
-else:
+elif sys.argv[1] == "load":
     t0 = time.time()
     fit = LOAD[KIND]()
     t_load = time.time() - t0
@@ -96,3 +96,39 @@ else:
     t0 = time.time()
     run_fit(fit)
     print(f"second fit {time.time()-t0:.2f}s", flush=True)
+else:   # "breakdown": itemized fresh-process load phases (r4 item 8)
+    import pickle
+    import jax
+
+    from jax.experimental import serialize_executable as se
+    from graphlearning_tpu.ops.gather import GatherAccel
+    from graphlearning_tpu.aot import _nodiag
+
+    t = {"import_to_here": time.time() - t_start}
+    t0 = time.time()
+    meta = pickle.load(open(PACK, "rb"))
+    t["unpickle"] = time.time() - t0
+    t0 = time.time()
+    if KIND == "poisson":
+        acc = GatherAccel(_nodiag(W), prec=meta["prec"])
+    else:
+        acc = GatherAccel(sp.csr_matrix(W), prec=meta["prec"])
+    t["graph_rebuild_host"] = time.time() - t0
+    t0 = time.time()
+    comp = se.deserialize_and_load(*meta["blob"],
+                                   execution_devices=jax.devices()[:1])
+    t["deserialize_and_load"] = time.time() - t0
+    # NO tracing/compiling happens in any phase above or below — the
+    # remaining cost is the tunnel's device program+buffer load, isolated
+    # as (first execute) - (second execute)
+    fit = LOAD[KIND]()          # wraps comp equivalently; warm dispatch
+    t0 = time.time()
+    run_fit(fit)
+    t["first_execute"] = time.time() - t0
+    t0 = time.time()
+    run_fit(fit)
+    t["steady_execute"] = time.time() - t0
+    t["device_program_load_est"] = (t["first_execute"]
+                                    - t["steady_execute"])
+    print(f"BREAKDOWN [{KIND}]: " + "  ".join(
+        f"{k} {v:.2f}s" for k, v in t.items()), flush=True)

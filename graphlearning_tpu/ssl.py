@@ -1847,13 +1847,13 @@ class peikonal(ssl):
                     p=self.p, max_num_it=self.max_num_it, tol=self.tol,
                     num_bisection_it=self.num_bisection_it)
                 for l in unique_labels], axis=1)
-        acc = _accel.maybe_build(self.graph.weight_matrix, cache_obj=self,
-                                 attr="_accel_dist", exact=False, fast=True)
+        # no accel build: the warm start is now the class-batched
+        # _bellman_ford_mc over the same padded-ELL operator the Jacobi
+        # uses (one program for all classes; solvers/eikonal.py)
         bdy_sets = [train_ind[train_labels == l] for l in unique_labels]
         return peikonal_mc(self.graph.sparse, bdy_sets, f=self.f, p=self.p,
                            max_num_it=self.max_num_it, tol=self.tol,
-                           num_bisection_it=self.num_bisection_it,
-                           accel=acc)
+                           num_bisection_it=self.num_bisection_it)
 
 
 class plaplace(ssl):

@@ -313,6 +313,34 @@ class ssl:
     def _fit(self, train_ind, train_labels, all_labels=None):
         raise NotImplementedError("Must override _fit")
 
+    def fit_device(self, train_ind, train_labels):
+        """Device-resident fit: like :meth:`fit` but returns the (n, C)
+        score block WITHOUT the device->host fetch — np.asarray of the
+        solution is ~0.3 s at n=70k through the remote-TPU tunnel, the
+        dominant fixed cost of an active-learning ``update`` (measured,
+        scripts/al_profile.py).  ``self.prob`` is then a device array;
+        ``predict()`` still works (it fetches once, lazily).  Models
+        whose ``_fit`` honors ``_device_u`` (laplace, poisson) stay on
+        device; anything else falls back to the host path."""
+        if self.graph is None:
+            sys.exit("SSL object has no graph. Use set_graph().")
+        if (self.onevsrest or self.class_priors is not None):
+            return jnp.asarray(self.fit(train_ind, train_labels))
+        self._ckpt = None
+        self.fitted = True
+        u = self._fit_on_device(np.asarray(train_ind),
+                                np.asarray(train_labels))
+        self.prob = u
+        return u
+
+    def _fit_on_device(self, train_ind, train_labels):
+        self._device_u = True
+        try:
+            u = self._fit(train_ind, train_labels)
+        finally:
+            self._device_u = False
+        return jnp.asarray(u)
+
     # -- trial harness (reference ssl.py:292-436) -------------------------
 
     def get_accuracy_filename(self):
@@ -632,6 +660,10 @@ class laplace(ssl):
             u = _laplace_constrained(
                 G.sparse, tau_j, jnp.asarray(mask), bdy_j, self.tol,
                 normalization=self.normalization, order=order, u0=u0)
+        if getattr(self, "_device_u", False):
+            # device-resident caller (fit_device): skip the (n, k)
+            # device->host fetch (~0.3 s at n=70k through the tunnel)
+            return u - jnp.mean(u, axis=0) if self.mean_shift else u
         u = np.asarray(u)
         if self.mean_shift:
             u = u - np.mean(u, axis=0)
@@ -854,6 +886,8 @@ class poisson(ssl):
             u = V @ ((V.T @ np.asarray(b)) / lam[:, None])
         else:
             sys.exit("Invalid Poisson solver " + self.solver)
+        if getattr(self, "_device_u", False) and isinstance(u, jnp.ndarray):
+            return u          # device-resident caller: skip the fetch
         return np.asarray(u)
 
     def _fit_batched(self, trainsets, labels):

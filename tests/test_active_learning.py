@@ -166,3 +166,49 @@ def test_sharded_active_learning_loop(setup):
         al_sh.update(q_sh, labels[q_sh])
     np.testing.assert_allclose(al_sh.u, al_ref.u, atol=1e-4)
     assert len(al_sh.labeled_ind) == len(train_ind) + 2
+
+
+def test_device_resident_warm_loop_matches_host_loop(setup):
+    """warm_start=True keeps u on device (fit_device) and computes
+    acquisitions on device; queries and solutions must match the plain
+    host-array loop (round-4 verdict item 5: the 0.3 s per-update
+    device->host fetch was the wall-clock cost warm starts couldn't
+    beat)."""
+    import jax.numpy as jnp
+
+    labels, W, model, vals, vecs = setup
+    train_ind = gl.trainsets.generate(labels, rate=3, seed=1)
+
+    m_dev = gl.ssl.laplace(W, tol=1e-9)
+    al_dev = al.active_learner(m_dev, al.unc_sampling(), train_ind,
+                               labels[train_ind], warm_start=True)
+    assert isinstance(al_dev.u, jnp.ndarray)      # stayed on device
+
+    m_ref = gl.ssl.laplace(W, tol=1e-9)
+    al_ref = al.active_learner(m_ref, al.unc_sampling(), train_ind,
+                               labels[train_ind])
+    for _ in range(3):
+        q_dev = al_dev.select_queries(batch_size=1)
+        q_ref = al_ref.select_queries(batch_size=1)
+        assert np.array_equal(q_dev, q_ref)
+        al_dev.update(q_dev, labels[q_dev])
+        al_ref.update(q_ref, labels[q_ref])
+    np.testing.assert_allclose(np.asarray(al_dev.u), al_ref.u, atol=1e-5)
+    # predict() still works off the device-resident prob
+    assert gl.ssl.ssl_accuracy(m_dev.predict(), labels,
+                               al_dev.labeled_ind) > 90.0
+
+
+def test_device_unc_flavors_match_host(setup):
+    """_unc_full_device == the host-numpy formulas for every flavor."""
+    import jax.numpy as jnp
+
+    labels, W, model, vals, vecs = setup
+    train_ind = gl.trainsets.generate(labels, rate=3, seed=0)
+    u = model.fit(train_ind, labels[train_ind])
+    cand = np.arange(60)
+    for m in ("norm", "entropy", "least_confidence", "smallest_margin",
+              "largest_margin", "unc_2norm"):
+        host = al.unc_sampling(unc_method=m).compute(u, cand)
+        dev = al.unc_sampling(unc_method=m).compute(jnp.asarray(u), cand)
+        np.testing.assert_allclose(dev, host, atol=1e-5, rtol=1e-4)

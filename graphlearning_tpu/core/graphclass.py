@@ -316,7 +316,11 @@ class graph:
             # worst in LOBPCG; solve for k+b and keep the first k so the
             # returned pairs are interior, fully-converged ones (measured
             # on the digits kNN graph: lifts poisson-spectral prediction
-            # agreement with scipy eigsh from 0.980 to >=0.99)
+            # agreement with scipy eigsh from 0.980 to 1.000, and
+            # modularity-MBO reference agreement from 0.974 to 1.000 —
+            # a k<=24 cap was measured and REJECTED: it restores ~2x
+            # eig warm time at num_eig=50 but loses the modularity
+            # agreement, and the correctness bar wins)
             b = min(2 + k // 10, max(self.num_nodes // 4 - k, 0))
             vals_b, vecs_b = _eig.eigen_decomp(
                 self.g, normalization=normalization, method=method, k=k + b,

@@ -374,3 +374,29 @@ def test_volume_assignment_adversarial_repair():
         jnp.asarray(a), jnp.zeros(n, bool), jnp.zeros(n, jnp.int32),
         jnp.asarray(target), jnp.asarray(target), max_price_it=0))
     assert (np.bincount(lab, minlength=k) == target).all()
+
+
+def test_bellman_ford_mc_matches_per_class():
+    """The class-batched (n, C) min-plus Bellman-Ford (the peikonal warm
+    start) equals C independent dijkstra solves."""
+    import jax.numpy as jnp
+    from graphlearning_tpu.core.sparse import SparseGraph
+    from graphlearning_tpu.solvers import eikonal as eik
+
+    rs = np.random.RandomState(3)
+    X = rs.rand(300, 2)
+    W = gl.weightmatrix.knn(X, 8)
+    g = SparseGraph.from_scipy(W)
+    sets = [np.array([0, 5]), np.array([100]), np.array([200, 250, 299])]
+    f = rs.rand(300) + 0.5
+
+    D0 = np.full((300, len(sets)), 1e30)
+    for c, s in enumerate(sets):
+        D0[s, c] = 0.0
+    D = np.asarray(eik._bellman_ford_mc(
+        g, jnp.asarray(D0, dtype=g.vals.dtype),
+        jnp.asarray(f, dtype=g.vals.dtype), recip=True, max_iter=10**5))
+    for c, s in enumerate(sets):
+        d_ref = eik.dijkstra(g, s, bdy_val=0.0, f=f,
+                             reciprocal_weights=True)
+        np.testing.assert_allclose(D[:, c], d_ref, atol=1e-6)

@@ -1108,6 +1108,113 @@ def band_tiles_spmm_packed(band, slab_block, slab_starts, slab_first, X,
     )(slab_block, slab_starts, slab_first, band, *([X] * S))
 
 
+# -- exact-grade 3 B/cell band: bf16 hi + int8 lo -------------------------
+#
+# bf16x3 streams a 4 B/cell f32 band and splits hi/lo in-kernel; the lo
+# term only carries ~8 significant bits, so storing it as an int8 keeps
+# the ~1e-5 exact-CG-grade error at 3 B/cell — a 25% cut of the dominant
+# traffic term at the tuned geometry.  The quantization step for cell
+# (i,j) is ulp(hi_ij)*2^-8, i.e. the scale is PER-ELEMENT but carried
+# entirely by hi's exponent bits, so no scale array is stored: the
+# kernel rebuilds it with one exponent mask + subtract (both exact,
+# power-of-two arithmetic) and one bf16 multiply.
+
+
+def quantize_band_i8(band):
+    """Split an f32 band into ``(hi bf16, q int8)`` with
+    ``band ≈ hi + q * ulp(hi) * 2**-8`` per element.
+
+    The quantization error is <= ulp(hi)*2^-9 ~ |band|*2^-16 per cell —
+    uniform RELATIVE accuracy however widely the band magnitudes spread
+    (a per-slab scale was measured 7x worse on row-stochastic weights
+    whose max weight is ~1 while the typical is ~1/k).  ``q`` is exact
+    in bf16 (|q| <= 127) and the scale is a power of two, so the
+    in-kernel dequantization is exact."""
+    hi = band.astype(jnp.bfloat16)
+    # XLA folds f32->bf16->f32 round-trips under jit (measured: the
+    # residual silently becomes 0); the barrier forces the real downcast
+    r = band - jax.lax.optimization_barrier(hi).astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(hi, jnp.int16)
+    u = jax.lax.bitcast_convert_type(
+        bits & jnp.int16(0x7F80), jnp.bfloat16).astype(jnp.float32)
+    # ulp(hi) = u * 2^-7 (bf16: 7 stored mantissa bits); step = ulp*2^-8
+    s = u * jnp.float32(2.0 ** -15)
+    q = jnp.where(s > 0, jnp.round(r / jnp.where(s > 0, s, 1.0)), 0.0)
+    return hi, jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
+def _tiles_packed_i8_kernel(tb_ref, ts_ref, bf_ref, hi_ref, q_ref,
+                            *rest, WT: int, S: int):
+    xs = rest[:-1]
+    out_ref = rest[-1]
+    g = pl.program_id(0)
+
+    @pl.when(bf_ref[g] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    A_hi = hi_ref[:]                                  # (R, S*WT) bf16
+    # per-element dequant scale ulp(A_hi)*2^-8 = 2^(e-15) rebuilt from
+    # the exponent bits: mask (int16 subtract is unsupported on the v5e
+    # VPU, so the -15 exponent shift is a bf16 power-of-two multiply —
+    # still exact).  A_hi==0 cells give u=0 so the product stays 0.
+    u = jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(A_hi, jnp.int16)
+        & jnp.int16(0x7F80), jnp.bfloat16)
+    A_lo = (q_ref[:].astype(jnp.bfloat16) * u) * jnp.bfloat16(2.0 ** -15)
+    xf = jnp.concatenate([x_ref[:] for x_ref in xs], axis=0)  # (S*WT, d)
+    x_hi = xf.astype(jnp.bfloat16)
+    x_lo = (xf - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dims = (((1,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(
+        A_hi, x_hi, dims, preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(
+        A_hi, x_lo, dims, preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(
+        A_lo, x_hi, dims, preferred_element_type=jnp.float32)
+    out_ref[:] += acc
+
+
+def band_tiles_spmm_packed_i8(hi, q, slab_block, slab_starts,
+                              slab_first, X, n: int, R: int = 384,
+                              WT: int = 128, S: int = 6,
+                              interpret: bool = False):
+    """``out = (hi + q*ulp(hi)*2^-8) @ X`` on packed slabs — the
+    exact-CG-grade (~1e-5) mode at 3 band bytes/cell.  ``X`` must be f32
+    (split hi/lo in-kernel); output f32."""
+    G = slab_block.shape[0]
+    d = X.shape[1]
+    assert n % R == 0 and X.shape[0] % WT == 0 and d % 128 == 0
+    slab_starts = slab_starts.reshape(-1)
+    assert slab_starts.shape == (G * S,)
+    kernel = functools.partial(_tiles_packed_i8_kernel, WT=WT, S=S)
+    x_specs = [
+        pl.BlockSpec(
+            (WT, d),
+            (lambda k: lambda g, tb, ts, bf: (ts[g * S + k] // WT, 0))(k),
+            memory_space=pltpu.VMEM)
+        for k in range(S)
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((R, S * WT), lambda g, tb, ts, bf: (g, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, S * WT), lambda g, tb, ts, bf: (g, 0),
+                             memory_space=pltpu.VMEM),
+            ] + x_specs,
+            out_specs=pl.BlockSpec((R, d),
+                                   lambda g, tb, ts, bf: (tb[g], 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        interpret=interpret,
+    )(slab_block, slab_starts, slab_first, hi, q, *([X] * S))
+
+
 # -- host-side planning ---------------------------------------------------
 
 

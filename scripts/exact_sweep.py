@@ -36,17 +36,19 @@ def main():
     from graphlearning_tpu.core.sparse import SparseGraph
     from graphlearning_tpu.ops.accel import hilbert_order_2d
     from graphlearning_tpu.ops.pallas_spmm import (
-        apply_residual, band_tiles_spmm_packed, build_residual_ell,
-        materialize_band_tiles, pack_band, pack_tiles, plan_tiles)
+        apply_residual, band_tiles_spmm_packed, band_tiles_spmm_packed_i8,
+        build_residual_ell, materialize_band_tiles, pack_band, pack_tiles,
+        plan_tiles, quantize_band_i8)
     from graphlearning_tpu.parallel.shard import pad_graph_to
 
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--quick", action="store_true")
     p.add_argument("--mode", default="bf16x3",
-                   choices=["bf16x3", "bf16"],
+                   choices=["bf16x3", "bf16", "bf16i8"],
                    help="bf16x3 = exact-grade sweep; bf16 = fast-mode "
-                        "(bf16 band + bf16 X) headline re-sweep")
+                        "(bf16 band + bf16 X) headline re-sweep; bf16i8 "
+                        "= exact-grade 3 B/cell band (bf16 hi + int8 lo)")
     args = p.parse_args()
     iters = args.iters
     MODE = args.mode
@@ -84,6 +86,13 @@ def main():
         grid = []
         for R in (256, 384, 512, 768):
             for S in (4, 6, 8, 12):
+                grid.append((R, 128, S, 1, None))
+    elif MODE == "bf16i8":
+        # 3 B/cell band shifts the traffic balance toward the X stream,
+        # so sweep geometry around both the bf16 and bf16x3 optima
+        grid = []
+        for R in (256, 384, 512):
+            for S in (6, 8, 12):
                 grid.append((R, 128, S, 1, None))
     else:
         # X traffic = #kept-tiles * WT * d (S only pads slabs), so the
@@ -125,15 +134,30 @@ def main():
             band = pack_band(b0, src, R=R, WT=WT)
             b0.delete()
 
-            @jax.jit
-            def run(band_, sb_, sts_, sbf_, resid_, Xf):
-                Xc = Xf.astype(jnp.bfloat16) if XDT == "bf16" else Xf
-                out = band_tiles_spmm_packed(
-                    band_, sb_, sts_, sbf_, Xc, n=gp.n, R=R, WT=WT, S=S,
-                    mode=MODE)
-                return apply_residual(out, Xf, resid_)
+            if MODE == "bf16i8":
+                hi, qlo = jax.jit(quantize_band_i8)(band)
+                jax.block_until_ready(qlo)
+                band.delete()
+                band = (hi, qlo)
 
-            fn = lambda Xc: run(band, *slabs, resid, Xc)
+                @jax.jit
+                def run(hi_, q_, sb_, sts_, sbf_, resid_, Xf):
+                    out = band_tiles_spmm_packed_i8(
+                        hi_, q_, sb_, sts_, sbf_, Xf, n=gp.n, R=R,
+                        WT=WT, S=S)
+                    return apply_residual(out, Xf, resid_)
+
+                fn = lambda Xc: run(*band, *slabs, resid, Xc)
+            else:
+                @jax.jit
+                def run(band_, sb_, sts_, sbf_, resid_, Xf):
+                    Xc = Xf.astype(jnp.bfloat16) if XDT == "bf16" else Xf
+                    out = band_tiles_spmm_packed(
+                        band_, sb_, sts_, sbf_, Xc, n=gp.n, R=R, WT=WT,
+                        S=S, mode=MODE)
+                    return apply_residual(out, Xf, resid_)
+
+                fn = lambda Xc: run(band, *slabs, resid, Xc)
             out = fn(X)
             float(jnp.sum(out[0]))
             rel1 = float(np.abs(np.asarray(out[:n]).astype(np.float64)
@@ -149,7 +173,7 @@ def main():
             float(jnp.sum(Y[0]))
             dt = (time.perf_counter() - t0) / iters
             eps_s = nnz / dt
-            bb = 2 if MODE == "bf16" else 4
+            bb = {"bf16": 2, "bf16i8": 3}.get(MODE, 4)
             bx = 2 if XDT == "bf16" else 4
             traffic = (G * (R * S * WT * bb + S * WT * d * bx)
                        + (gp.n // R) * R * d * 4)
@@ -163,7 +187,11 @@ def main():
                 "bytes_per_edge": round(traffic / nnz, 1),
                 "achieved_GBps": round(traffic / dt / 1e9, 1),
             }
-            band.delete()
+            if isinstance(band, tuple):
+                for b in band[:2]:
+                    b.delete()
+            else:
+                band.delete()
         except Exception as e:
             row = {"R": R, "WT": WT, "S": S,
                    "min_edges_per_tile_mult": met_mult,
@@ -171,21 +199,22 @@ def main():
                    "error": f"{type(e).__name__}: {str(e)[:100]}"}
         print(json.dumps(row), flush=True)
         results.append(row)
-        err_bar = 5e-5 if MODE == "bf16x3" else 1e-2
+        err_bar = 1e-2 if MODE == "bf16" else 5e-5
         if "edges_per_s" in row and row["rel_err_single"] < err_bar and (
                 best is None or row["edges_per_s"] > best["edges_per_s"]):
             best = row
 
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "exact_sweep_results.json" if MODE == "bf16x3"
-        else "bf16_sweep_results.json")
+        {"bf16x3": "exact_sweep_results.json",
+         "bf16i8": "exact_i8_sweep_results.json"}.get(
+             MODE, "bf16_sweep_results.json"))
     json.dump({"n": n, "k": k, "d": d, "nnz": int(nnz), "iters": iters,
                "results": results, "best": best},
               open(out_path, "w"), indent=1)
     print("# best:", json.dumps(best), flush=True)
 
-    if best and not args.quick and MODE == "bf16x3":
+    if best and not args.quick and MODE in ("bf16x3", "bf16i8"):
         tpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "spmm_tuned.json")
         tuned = json.load(open(tpath))
@@ -193,7 +222,7 @@ def main():
         if best["edges_per_s"] > prev.get("edges_per_s", 0):
             tuned["best_packed_exact_hilbert"] = {
                 "R": best["R"], "WT": best["WT"], "S": best["S"],
-                "mode": "bf16x3", "x_dtype": "f32",
+                "mode": MODE, "x_dtype": "f32",
                 "kcap_max": best["kcap"],
                 "min_edges_per_tile": best["min_edges_per_tile"],
                 "edges_per_s": best["edges_per_s"],

@@ -297,3 +297,55 @@ def test_packed_tiles_spmm_matches_scipy():
     ref = W @ X[: W.shape[0]]
     np.testing.assert_allclose(out[: W.shape[0]], ref, rtol=1e-4,
                                atol=1e-4 * np.abs(ref).max())
+
+
+def test_packed_tiles_spmm_i8_exact_grade():
+    """bf16-hi + int8-lo packed band (3 B/cell) reaches exact-CG-grade
+    (~1e-5) accuracy vs scipy f64 — far past plain-bf16's ~4e-3."""
+    import jax.numpy as jnp
+    from conftest import random_knn_csr
+    from graphlearning_tpu.core.sparse import SparseGraph
+    from graphlearning_tpu.parallel.shard import pad_graph_to
+    from graphlearning_tpu.ops.pallas_spmm import (
+        band_tiles_spmm_packed, band_tiles_spmm_packed_i8,
+        materialize_band_tiles, pack_band, pack_tiles, plan_tiles,
+        quantize_band_i8)
+
+    rs = np.random.RandomState(7)
+    W = random_knn_csr(1024, 8, seed=7)
+    g = pad_graph_to(SparseGraph.from_scipy(W, dtype=jnp.float32), 128)
+    R, WT, S = 64, 128, 4
+    tb, ts, bf, rr, rslot, kcap = plan_tiles(
+        np.asarray(g.cols), R=R, WT=WT, deg=np.asarray(g.deg), kcap=g.k,
+        min_edges_per_tile=1, hbm_budget_bytes=float("inf"))
+    assert len(rr) == 0
+    band = materialize_band_tiles(
+        g.cols, g.vals, jnp.asarray(tb), jnp.asarray(ts), R=R, WT=WT,
+        interpret=True, out_dtype=jnp.float32)
+    sb, sts, sbf, src = pack_tiles(tb, ts, bf, S)
+    packed = pack_band(band, src, R=R, WT=WT)
+    hi, q = quantize_band_i8(packed)
+    assert hi.dtype == jnp.bfloat16 and q.dtype == jnp.int8
+    # host dequantization: hi + q*ulp(hi)*2^-8 reproduces the f32 band
+    # to ~ulp(hi)*2^-9 per cell
+    hin = np.asarray(hi, np.float32)
+    u = (np.abs(hin).view(np.int32) & 0x7F800000).view(np.float32)
+    rec = hin.astype(np.float64) + np.asarray(q, np.float64) * u * 2.0**-15
+    pk = np.asarray(packed, np.float64)
+    bad = np.abs(rec - pk) > np.maximum(u * 2.0**-15, 1e-30)
+    assert not bad.any()
+    X = rs.randn(g.n, 128).astype(np.float32)
+    out = np.asarray(band_tiles_spmm_packed_i8(
+        hi, q, jnp.asarray(sb), jnp.asarray(sts), jnp.asarray(sbf),
+        jnp.asarray(X), n=g.n, R=R, WT=WT, S=S, interpret=True))
+    ref64 = W.astype(np.float64) @ X[: W.shape[0]].astype(np.float64)
+    rel = np.abs(out[: W.shape[0]] - ref64).max() / np.abs(ref64).max()
+    assert rel < 1e-4, rel
+    # and strictly better than the plain bf16 single-pass mode
+    out_bf16 = np.asarray(band_tiles_spmm_packed(
+        packed.astype(jnp.bfloat16), jnp.asarray(sb), jnp.asarray(sts),
+        jnp.asarray(sbf), jnp.asarray(X).astype(jnp.bfloat16), n=g.n,
+        R=R, WT=WT, S=S, interpret=True, mode="bf16"))
+    rel_bf16 = (np.abs(out_bf16[: W.shape[0]] - ref64).max()
+                / np.abs(ref64).max())
+    assert rel < rel_bf16 / 10, (rel, rel_bf16)

@@ -250,9 +250,45 @@ def main():
 
                     def build_packed_fn(mode_, xdt_):
                         """(fn, band handle) for one (mode, X dtype): the
-                        published fast mode and the exact-CG-grade mode
-                        share planning/packing, differ in band dtype and
+                        published fast mode and the exact-CG-grade modes
+                        share planning/packing, differ in band format and
                         X stream."""
+                        if mode_.startswith("rowq"):
+                            # row-quantized int8 band (1-2 planes, single
+                            # stream) — see pallas_spmm rowq
+                            import functools
+                            from graphlearning_tpu.ops.pallas_spmm import (
+                                band_tiles_spmm_packed_rowq,
+                                quantize_band_rowq)
+                            planes = int(mode_[-1])
+                            _m = jax.jit(
+                                lambda c, v, tb_, ts_:
+                                materialize_band_tiles(
+                                    c, v, tb_, ts_, R=R, WT=WT,
+                                    out_dtype=jnp.float32))
+                            b0 = _m(cols_c, vals_c, tiles[0], tiles[1])
+                            pk0 = pack_band(b0, src, R=R, WT=WT)
+                            b0.delete()
+                            row_of = jnp.asarray(
+                                np.repeat(np.asarray(sb, np.int64) * R, R)
+                                + np.tile(np.arange(R), len(sb)))
+                            qband, srow = jax.jit(functools.partial(
+                                quantize_band_rowq, n=gp.n,
+                                planes=planes))(pk0, row_of)
+                            jax.block_until_ready(qband)
+                            pk0.delete()
+
+                            @jax.jit
+                            def _runq(q_, s_, sb_, sts_, sbf_, resid_, X):
+                                Xk = (X.astype(jnp.bfloat16)
+                                      if planes == 1 else X)
+                                out = band_tiles_spmm_packed_rowq(
+                                    q_, s_, sb_, sts_, sbf_, Xk, n=gp.n,
+                                    R=R, WT=WT, S=S, planes=planes)
+                                return apply_residual(out, X, resid_)
+
+                            return (lambda X: _runq(qband, srow, *slabs,
+                                                    resid, X)), qband
                         bdt = (jnp.bfloat16 if mode_ == "bf16"
                                else jnp.float32)
                         _m = jax.jit(
@@ -405,6 +441,22 @@ def main():
             "rel_err_chain": chain_rel_err(Y_x),
             "rel_err_single": single_rel_err(fn_x)}
         band_x.delete()
+        # round-5 row-quantized int8 band modes (single stream):
+        # rowq2 (2 B/cell) is the exact-grade champion (+17% over bf16x3
+        # same-process); rowq1 (1 B/cell) is the fastest mode measured
+        # (+10% over the published bf16) at a looser ~1.2e-2 error — kept
+        # as a measured row, not the published headline
+        for mode_q in ("rowq2", "rowq1"):
+            try:
+                fn_q, band_q = build_packed_fn(mode_q, "f32")
+                dt_q, Y_q = measure(fn_q)
+                modes_out[mode_q + "_int8"] = {
+                    "edges_per_s": round(nnz * iters / dt_q, 1),
+                    "rel_err_chain": chain_rel_err(Y_q),
+                    "rel_err_single": single_rel_err(fn_q)}
+                band_q.delete()
+            except Exception as e:  # pragma: no cover
+                print(f"# {mode_q} mode failed ({e}); omitted", flush=True)
 
     # traffic roofline (tiles kernel): per grid step one (R, WT) band tile
     # + one (WT, d) X tile; one (R, d) output block per row block.  The

@@ -1215,6 +1215,130 @@ def band_tiles_spmm_packed_i8(hi, q, slab_block, slab_starts,
     )(slab_block, slab_starts, slab_first, hi, q, *([X] * S))
 
 
+# -- row-quantized fixed-point band: 1-2 int8 planes, ONE stream ----------
+#
+# Measured on v5e: a SECOND band input stream costs ~15% throughput at
+# equal bytes (two bf16 planes lose to one f32 plane + in-kernel split),
+# so the 3 B/cell bf16+int8 format above cannot beat bf16x3 despite the
+# byte saving.  This format keeps ONE stream: the band is fixed-point
+# per OUTPUT ROW — A ≈ s_row*(q_hi + q_lo/254) with s_row a power of
+# two >= rowmax/127 — stored as 1 (fast) or 2 (exact) int8 planes
+# side-by-side in a single (R, planes*S*WT) int8 block.  The MXU
+# multiplies int8 operands directly (no VPU dequant); the per-row scale
+# is applied OUTSIDE the kernel where XLA fuses it into the residual
+# pass.  2 planes = ~16 bits row-relative = exact-CG grade at HALF the
+# bf16x3 band bytes; 1 plane = ~bf16-grade at half the bf16 bytes.
+
+
+def quantize_band_rowq(band, row_of, n: int, planes: int = 2):
+    """Row-quantize a packed f32 band (G*R, S*WT) into
+    ``(qband (G*R, planes*S*WT) int8, s (n,) f32)`` with
+    ``band[i] ≈ s[row_of[i]] * (q_hi[i] + q_lo[i]/254)``.  (254, not
+    256: round(r*256) reaches ±128 and the int8 clip would double the
+    error tail.)
+
+    ``row_of`` maps each packed band row to its graph row (slabs of the
+    same row block share scales so partial products can be scaled after
+    accumulation).  ``s`` is a power of two — the final rescale is
+    exact."""
+    rowmax = jnp.zeros((n,), jnp.float32).at[row_of].max(
+        jnp.max(jnp.abs(band), axis=1))
+    e = jnp.ceil(jnp.log2(jnp.where(rowmax > 0, rowmax, 1.0) / 127.0)
+                 ).astype(jnp.int32)
+    s = jnp.where(rowmax > 0, jnp.ldexp(jnp.float32(1.0), e), 1.0)
+    s = jnp.where(rowmax > 127.0 * s, 2.0 * s, s)
+    t = band / s[row_of][:, None]                     # |t| <= 127
+    q_hi = jnp.round(t)
+    if planes == 1:
+        q = jnp.clip(q_hi, -127, 127).astype(jnp.int8)
+        return q, s
+    q_lo = jnp.clip(jnp.round((t - q_hi) * 254.0), -127, 127)
+    q = jnp.concatenate([jnp.clip(q_hi, -127, 127), q_lo],
+                        axis=1).astype(jnp.int8)
+    return q, s
+
+
+def _tiles_packed_rowq_kernel(tb_ref, ts_ref, bf_ref, q_ref, *rest,
+                              WT: int, S: int, planes: int,
+                              x_bf16: bool):
+    xs = rest[:-1]
+    out_ref = rest[-1]
+    g = pl.program_id(0)
+
+    @pl.when(bf_ref[g] == 1)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    SW = S * WT
+    Q = q_ref[:]                                      # (R, planes*SW)
+    dims = (((1,), (0,)), ((), ()))
+    if planes == 1:
+        x = jnp.concatenate([x_ref[:] for x_ref in xs], axis=0)
+        acc = jax.lax.dot_general(
+            Q, x.astype(jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32)
+    else:
+        xf = jnp.concatenate([x_ref[:] for x_ref in xs], axis=0)
+        x_hi = xf.astype(jnp.bfloat16)
+        x_lo = (xf - x_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        q_hi = Q[:, :SW]
+        q_lo = Q[:, SW:]
+        acc = jax.lax.dot_general(
+            q_hi, x_hi, dims, preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(
+            q_hi, x_lo, dims, preferred_element_type=jnp.float32)
+        acc += jax.lax.dot_general(
+            q_lo, x_hi, dims,
+            preferred_element_type=jnp.float32) * jnp.float32(1 / 254)
+    out_ref[:] += acc
+
+
+def band_tiles_spmm_packed_rowq(qband, srow, slab_block, slab_starts,
+                                slab_first, X, n: int, R: int = 256,
+                                WT: int = 128, S: int = 12,
+                                planes: int = 2,
+                                interpret: bool = False):
+    """``out = rowquant-band @ X`` on packed slabs (see
+    quantize_band_rowq).  planes=2: exact-CG grade (~1e-5), X must be
+    f32 (split hi/lo in-kernel).  planes=1: fast grade (~bf16), X may
+    be pre-cast bf16.  Output f32, already rescaled by ``srow``."""
+    G = slab_block.shape[0]
+    d = X.shape[1]
+    assert n % R == 0 and X.shape[0] % WT == 0 and d % 128 == 0
+    slab_starts = slab_starts.reshape(-1)
+    assert slab_starts.shape == (G * S,)
+    kernel = functools.partial(_tiles_packed_rowq_kernel, WT=WT, S=S,
+                               planes=planes,
+                               x_bf16=X.dtype == jnp.bfloat16)
+    x_specs = [
+        pl.BlockSpec(
+            (WT, d),
+            (lambda k: lambda g, tb, ts, bf: (ts[g * S + k] // WT, 0))(k),
+            memory_space=pltpu.VMEM)
+        for k in range(S)
+    ]
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(G,),
+            in_specs=[
+                pl.BlockSpec((R, planes * S * WT),
+                             lambda g, tb, ts, bf: (g, 0),
+                             memory_space=pltpu.VMEM),
+            ] + x_specs,
+            out_specs=pl.BlockSpec((R, d),
+                                   lambda g, tb, ts, bf: (tb[g], 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, d), jnp.float32),
+        interpret=interpret,
+    )(slab_block, slab_starts, slab_first, qband, *([X] * S))
+    # per-row rescale OUTSIDE the kernel: XLA fuses it into the caller's
+    # residual pass, so it costs no extra memory sweep
+    return out * srow[:, None]
+
+
 # -- host-side planning ---------------------------------------------------
 
 

@@ -35,20 +35,24 @@ def main():
     from scipy.spatial import cKDTree
     from graphlearning_tpu.core.sparse import SparseGraph
     from graphlearning_tpu.ops.accel import hilbert_order_2d
+    import functools
     from graphlearning_tpu.ops.pallas_spmm import (
         apply_residual, band_tiles_spmm_packed, band_tiles_spmm_packed_i8,
-        build_residual_ell, materialize_band_tiles, pack_band, pack_tiles,
-        plan_tiles, quantize_band_i8)
+        band_tiles_spmm_packed_rowq, build_residual_ell,
+        materialize_band_tiles, pack_band, pack_tiles, plan_tiles,
+        quantize_band_i8, quantize_band_rowq)
     from graphlearning_tpu.parallel.shard import pad_graph_to
 
     p = argparse.ArgumentParser()
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--quick", action="store_true")
     p.add_argument("--mode", default="bf16x3",
-                   choices=["bf16x3", "bf16", "bf16i8"],
+                   choices=["bf16x3", "bf16", "bf16i8", "rowq2"],
                    help="bf16x3 = exact-grade sweep; bf16 = fast-mode "
                         "(bf16 band + bf16 X) headline re-sweep; bf16i8 "
-                        "= exact-grade 3 B/cell band (bf16 hi + int8 lo)")
+                        "= exact-grade 3 B/cell band (bf16 hi + int8 lo); "
+                        "rowq2 = exact-grade 2 B/cell row-quantized "
+                        "2-plane int8 band (single stream)")
     args = p.parse_args()
     iters = args.iters
     MODE = args.mode
@@ -93,6 +97,11 @@ def main():
         grid = []
         for R in (256, 384, 512):
             for S in (6, 8, 12):
+                grid.append((R, 128, S, 1, None))
+    elif MODE == "rowq2":
+        grid = []
+        for R in (256, 384, 512):
+            for S in (12, 16):
                 grid.append((R, 128, S, 1, None))
     else:
         # X traffic = #kept-tiles * WT * d (S only pads slabs), so the
@@ -148,6 +157,24 @@ def main():
                     return apply_residual(out, Xf, resid_)
 
                 fn = lambda Xc: run(*band, *slabs, resid, Xc)
+            elif MODE == "rowq2":
+                row_of = jnp.asarray(
+                    np.repeat(np.asarray(sb, np.int64) * R, R)
+                    + np.tile(np.arange(R), len(sb)))
+                qband, srow = jax.jit(functools.partial(
+                    quantize_band_rowq, n=gp.n, planes=2))(band, row_of)
+                jax.block_until_ready(qband)
+                band.delete()
+                band = (qband, srow)
+
+                @jax.jit
+                def run(q_, s_, sb_, sts_, sbf_, resid_, Xf):
+                    out = band_tiles_spmm_packed_rowq(
+                        q_, s_, sb_, sts_, sbf_, Xf, n=gp.n, R=R,
+                        WT=WT, S=S, planes=2)
+                    return apply_residual(out, Xf, resid_)
+
+                fn = lambda Xc: run(*band, *slabs, resid, Xc)
             else:
                 @jax.jit
                 def run(band_, sb_, sts_, sbf_, resid_, Xf):
@@ -173,7 +200,7 @@ def main():
             float(jnp.sum(Y[0]))
             dt = (time.perf_counter() - t0) / iters
             eps_s = nnz / dt
-            bb = {"bf16": 2, "bf16i8": 3}.get(MODE, 4)
+            bb = {"bf16": 2, "bf16i8": 3, "rowq2": 2}.get(MODE, 4)
             bx = 2 if XDT == "bf16" else 4
             traffic = (G * (R * S * WT * bb + S * WT * d * bx)
                        + (gp.n // R) * R * d * 4)
@@ -207,14 +234,15 @@ def main():
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         {"bf16x3": "exact_sweep_results.json",
-         "bf16i8": "exact_i8_sweep_results.json"}.get(
+         "bf16i8": "exact_i8_sweep_results.json",
+         "rowq2": "exact_rowq_sweep_results.json"}.get(
              MODE, "bf16_sweep_results.json"))
     json.dump({"n": n, "k": k, "d": d, "nnz": int(nnz), "iters": iters,
                "results": results, "best": best},
               open(out_path, "w"), indent=1)
     print("# best:", json.dumps(best), flush=True)
 
-    if best and not args.quick and MODE in ("bf16x3", "bf16i8"):
+    if best and not args.quick and MODE in ("bf16x3", "bf16i8", "rowq2"):
         tpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "spmm_tuned.json")
         tuned = json.load(open(tpath))

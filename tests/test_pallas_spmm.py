@@ -349,3 +349,56 @@ def test_packed_tiles_spmm_i8_exact_grade():
     rel_bf16 = (np.abs(out_bf16[: W.shape[0]] - ref64).max()
                 / np.abs(ref64).max())
     assert rel < rel_bf16 / 10, (rel, rel_bf16)
+
+
+def test_packed_tiles_spmm_rowq_modes():
+    """Row-quantized single-stream int8 band: planes=2 reaches
+    exact-CG grade; planes=1 reaches bf16-grade; both rescale by the
+    per-row power-of-two exactly."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from conftest import random_knn_csr
+    from graphlearning_tpu.core.sparse import SparseGraph
+    from graphlearning_tpu.parallel.shard import pad_graph_to
+    from graphlearning_tpu.ops.pallas_spmm import (
+        band_tiles_spmm_packed_rowq, materialize_band_tiles, pack_band,
+        pack_tiles, plan_tiles, quantize_band_rowq)
+
+    rs = np.random.RandomState(11)
+    W = random_knn_csr(1024, 8, seed=11)
+    g = pad_graph_to(SparseGraph.from_scipy(W, dtype=jnp.float32), 128)
+    R, WT, S = 64, 128, 4
+    tb, ts, bf, rr, rslot, kcap = plan_tiles(
+        np.asarray(g.cols), R=R, WT=WT, deg=np.asarray(g.deg), kcap=g.k,
+        min_edges_per_tile=1, hbm_budget_bytes=float("inf"))
+    assert len(rr) == 0
+    band = materialize_band_tiles(
+        g.cols, g.vals, jnp.asarray(tb), jnp.asarray(ts), R=R, WT=WT,
+        interpret=True, out_dtype=jnp.float32)
+    sb, sts, sbf, src = pack_tiles(tb, ts, bf, S)
+    packed = pack_band(band, src, R=R, WT=WT)
+    G = len(sb)
+    row_of = jnp.asarray(np.repeat(sb.astype(np.int64) * R, R)
+                         + np.tile(np.arange(R), G))
+    X = rs.randn(g.n, 128).astype(np.float32)
+    ref64 = W.astype(np.float64) @ X[: W.shape[0]].astype(np.float64)
+    rels = {}
+    for planes in (2, 1):
+        qband, srow = jax.jit(functools.partial(
+            quantize_band_rowq, n=g.n, planes=planes))(packed, row_of)
+        assert qband.dtype == jnp.int8
+        # scales are powers of two (exact rescale)
+        sn = np.asarray(srow, np.float64)
+        np.testing.assert_array_equal(sn, np.exp2(np.round(np.log2(sn))))
+        Xk = jnp.asarray(X).astype(jnp.bfloat16) if planes == 1 \
+            else jnp.asarray(X)
+        out = np.asarray(band_tiles_spmm_packed_rowq(
+            qband, srow, jnp.asarray(sb), jnp.asarray(sts),
+            jnp.asarray(sbf), Xk, n=g.n, R=R, WT=WT, S=S, planes=planes,
+            interpret=True))
+        rels[planes] = (np.abs(out[: W.shape[0]] - ref64).max()
+                        / np.abs(ref64).max())
+    assert rels[2] < 1e-4, rels
+    assert rels[1] < 2e-2, rels
+    assert rels[2] < rels[1] / 20, rels

@@ -27,7 +27,13 @@ the XLA gather path — the ELL+COO hybrid of SURVEY.md §7.3.
 Matmul modes: ``f32`` = Mosaic HIGHEST (6-pass bf16 decomposition, exact
 f32); ``bf16x3`` = manual (A_hi+A_lo)(x_hi+x_lo) split dropping the lo·lo
 term (3 passes, ~1e-5 rel err — enough for f32 CG); ``bf16`` = single
-pass (~1e-2 rel err — diffusion/PageRank/MBO heat steps).
+pass (~1e-2 rel err — diffusion/PageRank/MBO heat steps).  The packed
+path additionally offers the round-5 row-quantized int8 band (rowq:
+1-2 int8 planes in ONE stream, per-output-row power-of-two scales —
+planes=2 is the measured exact-grade champion at 2 B/cell, +17% over
+bf16x3) and a bf16-hi + ulp-scaled int8-lo variant (bf16i8, kept as a
+measured negative result: a second band stream costs ~15% at equal
+bytes on v5e, so 3 B/cell in two streams loses to 4 B/cell in one).
 
 Replaces the reference's scipy CSR SpMM hot loop (utils.py:523) for the
 single-chip fast path.

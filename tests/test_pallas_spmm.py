@@ -402,3 +402,40 @@ def test_packed_tiles_spmm_rowq_modes():
     assert rels[2] < 1e-4, rels
     assert rels[1] < 2e-2, rels
     assert rels[2] < rels[1] / 20, rels
+
+
+def test_quantize_band_rowq_edge_cases():
+    """Row quantizer: mixed-sign values, all-zero rows, and a 1e6
+    dynamic range inside one row all reconstruct within the per-row
+    quantum; scales stay positive powers of two."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from graphlearning_tpu.ops.pallas_spmm import quantize_band_rowq
+
+    R, SW, G = 8, 256, 2
+    rs = np.random.RandomState(0)
+    band = rs.randn(G * R, SW).astype(np.float32)
+    band[3, :] = 0.0                            # all-zero row
+    band[5, 0] = 1e3                            # huge dynamic range
+    band[5, 1] = 1e-3
+    band[7, :8] = -7.25                         # negative values
+    row_of = jnp.asarray(np.arange(G * R) % (G * R))
+    n = G * R
+    for planes in (1, 2):
+        q, s = jax.jit(functools.partial(
+            quantize_band_rowq, n=n, planes=planes))(
+                jnp.asarray(band), row_of)
+        sn = np.asarray(s, np.float64)
+        assert (sn > 0).all()
+        np.testing.assert_array_equal(sn, np.exp2(np.round(np.log2(sn))))
+        qn = np.asarray(q, np.float64)
+        if planes == 2:
+            rec = (qn[:, :SW] + qn[:, SW:] / 254.0) * sn[:, None]
+            quantum = sn / 254.0
+        else:
+            rec = qn * sn[:, None]
+            quantum = sn
+        err = np.abs(rec - band)
+        assert (err <= quantum[:, None] + 1e-12).all(), err.max()
+        assert (qn[3] == 0).all()               # zero row stays zero

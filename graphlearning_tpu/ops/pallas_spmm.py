@@ -1265,8 +1265,7 @@ def quantize_band_rowq(band, row_of, n: int, planes: int = 2):
 
 
 def _tiles_packed_rowq_kernel(tb_ref, ts_ref, bf_ref, q_ref, *rest,
-                              WT: int, S: int, planes: int,
-                              x_bf16: bool):
+                              WT: int, S: int, planes: int):
     xs = rest[:-1]
     out_ref = rest[-1]
     g = pl.program_id(0)
@@ -1314,8 +1313,7 @@ def band_tiles_spmm_packed_rowq(qband, srow, slab_block, slab_starts,
     slab_starts = slab_starts.reshape(-1)
     assert slab_starts.shape == (G * S,)
     kernel = functools.partial(_tiles_packed_rowq_kernel, WT=WT, S=S,
-                               planes=planes,
-                               x_bf16=X.dtype == jnp.bfloat16)
+                               planes=planes)
     x_specs = [
         pl.BlockSpec(
             (WT, d),

@@ -367,6 +367,47 @@ class AccelSpMM:
                 Wwin = max(1, len(tb) * self.R * self.WT // self.n_pad)
                 materialize = True
 
+        # Packed-slab matvec plan (round-5): for plain-matvec solver
+        # entries, re-plan the band at the bench-tuned small-tile packed
+        # geometry — measured on the headline graph vs the unpacked
+        # (512,512) tiles the model path streamed before: f32 +43%,
+        # bf16x3 +21%, bf16 +10%, numerics identical (same edges, same
+        # matmul mode).  The min-plus/lip distance solvers keep the
+        # unpacked tile layout (their kernels scan tiles directly).
+        self._packed_meta = None
+        self._packed = None
+        if (self._tiles is not None and materialize is not False
+                and not os.environ.get("GLT_NO_PACKED")):
+            try:
+                from graphlearning_tpu.ops.pallas_spmm import (
+                    build_residual_ell, pack_tiles)
+
+                pR, pWT, pS = 256, 128, 12
+                if self.n_pad % pR == 0 and self.n_pad % pWT == 0:
+                    pmet = max(8, int(pR * pWT * 4 / 700e9 / 40e-9))
+                    ptb, pts_, pbf, prr, prs, pkcap = plan_tiles(
+                        cols_np, R=pR, WT=pWT, deg=deg_np,
+                        kcap_max=_KCAP_MAX, min_edges_per_tile=pmet,
+                        hbm_budget_bytes=_band_budget_bytes())
+                    psb, psts, psbf, psrc = pack_tiles(ptb, pts_, pbf, pS)
+                    pbytes = len(psb) * pR * pS * pWT * bytes_per
+                    if pbytes <= _band_budget_bytes():
+                        self._packed_meta = {
+                            "R": pR, "WT": pWT, "S": pS, "kcap": pkcap,
+                            "tb": jnp.asarray(ptb), "ts": jnp.asarray(pts_),
+                            "src": psrc,
+                            "slabs": (jnp.asarray(psb),
+                                      jnp.asarray(psts.reshape(-1)),
+                                      jnp.asarray(psbf)),
+                            "rrows": jnp.asarray(prr),
+                            "rslots": jnp.asarray(prs),
+                            "resid": build_residual_ell(
+                                prr, prs, cols_np,
+                                vals_np.astype(np.float32), self.n_pad),
+                        }
+            except Exception:   # pragma: no cover — unpacked fallback
+                self._packed_meta = None
+
         # padded-position maps: original node order[i] lives at padded row
         # pos[order_index i]; perm_ext[padded row] = original node (or -1)
         perm_ext = np.full(self.n_pad, -1, np.int64)
@@ -433,6 +474,50 @@ class AccelSpMM:
             self._band = band
         return self._band
 
+    def packed_band(self):
+        """Packed-slab copy of the band for plain matvecs (lazy; built
+        from its own small-tile plan, independent of band())."""
+        if self._packed is None:
+            from graphlearning_tpu.ops.pallas_spmm import (
+                materialize_band_tiles, pack_band)
+
+            m = self._packed_meta
+            kc = m["kcap"]
+            cols = (self.g.cols[:, :kc]
+                    if kc < self.g.cols.shape[1] else self.g.cols)
+            vals = (self.g.vals[:, :kc]
+                    if kc < self.g.vals.shape[1] else self.g.vals)
+            b0 = materialize_band_tiles(
+                cols, vals, m["tb"], m["ts"], R=m["R"], WT=m["WT"],
+                interpret=self.interpret, out_dtype=self._band_dtype)
+            pk = pack_band(b0, m["src"], R=m["R"], WT=m["WT"])
+            if isinstance(pk, jax.core.Tracer):
+                # under a trace: don't cache (see band())
+                return pk
+            pk.block_until_ready()
+            b0.delete()
+            self._packed = pk
+        return self._packed
+
+    def _matvec_operands(self):
+        """``(band, resid, plan_dev, statics_fn)`` for plain-matvec
+        solver entries: the packed-slab layout when planned (identical
+        numerics, measured +43% f32 / +21% bf16x3 / +10% bf16 over the
+        unpacked tiles), else the shared tiles/rect plan.  Distance
+        solvers (bellman_ford, lip) always use the unpacked layout."""
+        if self.materialize and self._packed_meta is not None:
+            m = self._packed_meta
+
+            def st(**extra):
+                return dict(Wwin=self.Wwin, R=m["R"], WT=m["WT"],
+                            kcap=m["kcap"], mode=self.mode,
+                            interpret=self.interpret, **extra)
+
+            return (self.packed_band(), m["resid"],
+                    (m["slabs"], m["rrows"], m["rslots"]), st)
+        band = self.band() if self.materialize else None
+        return band, self._resid, self._plan_dev, self._statics
+
     # -- index maps (one gather each, outside the solver loop) ------------
 
     def to_perm(self, X, fill=0.0):
@@ -454,13 +539,11 @@ class AccelSpMM:
     def spmm(self, Xp):
         """``Wp @ Xp`` in permuted padded space via the banded hybrid
         (streaming the materialized band when enabled)."""
-        if self.materialize:
-            band = self.band()
-        else:
-            band = None
-        fn = _make_spmm(self.g, band, self._resid, *self._plan_dev,
-                        self.Wwin, self.R, self.WT, self.kcap, self.mode,
-                        self.interpret)
+        band, resid, plan, st = self._matvec_operands()
+        s = st()
+        fn = _make_spmm(self.g, band, resid, *plan,
+                        s["Wwin"], s["R"], s["WT"], s["kcap"], s["mode"],
+                        s["interpret"])
         return fn(Xp)
 
     def _statics(self, **extra):
@@ -471,30 +554,30 @@ class AccelSpMM:
                   x0=None):
         """CG solve of ``(c0 I - c1 diag(s) Wp diag(s)) x = b`` in permuted
         space (jit-cached across fits).  ``x0``: warm start."""
-        band = self.band() if self.materialize else None
+        band, resid, plan, st = self._matvec_operands()
         return _cg_scaled_accel(
-            self.g, band, self._resid, *self._plan_dev, s_p, b, c0, c1, tol,
-            x0, **self._statics(max_iter=int(max_iter)))
+            self.g, band, resid, *plan, s_p, b, c0, c1, tol,
+            x0, **st(max_iter=int(max_iter)))
 
     def laplace_constrained(self, deg_p, diag_p, tau_p, mask_p, bdy_p, tol,
                             normalization="combinatorial", order=1,
                             max_iter=10**5, u0_p=None):
         """Masked CG Laplace solve in permuted space (jit-cached).
         ``u0_p``: permuted-space warm start (active-learning refits)."""
-        band = self.band() if self.materialize else None
+        band, resid, plan, st = self._matvec_operands()
         return _laplace_constrained_accel(
-            self.g, band, self._resid, *self._plan_dev, deg_p, diag_p,
+            self.g, band, resid, *plan, deg_p, diag_p,
             tau_p, mask_p, bdy_p, tol, u0_p, normalization=normalization,
-            order=int(order), **self._statics(max_iter=int(max_iter)))
+            order=int(order), **st(max_iter=int(max_iter)))
 
     def heat_steps(self, deg_p, u_p, Db_p, dt, Ns: int):
         """``Ns`` fused heat-equation steps ``u ← (I - dt L) u + Db`` in
         permuted space (PoissonMBO threshold dynamics, reference
         ssl.py:807-823; jit-cached across outer MBO iterations)."""
-        band = self.band() if self.materialize else None
+        band, resid, plan, st = self._matvec_operands()
         return _heat_steps_accel(
-            self.g, band, self._resid, *self._plan_dev, deg_p, u_p, Db_p,
-            jnp.asarray(dt, u_p.dtype), Ns=int(Ns), **self._statics())
+            self.g, band, resid, *plan, deg_p, u_p, Db_p,
+            jnp.asarray(dt, u_p.dtype), Ns=int(Ns), **st())
 
     def eig_normalized(self, s_p, k: int, m: int = 200, power: int = 8,
                        key=None):
@@ -508,10 +591,10 @@ class AccelSpMM:
         if key is None:
             key = _jax.random.PRNGKey(0)
         X0 = _jax.random.normal(key, (self.n_pad, k), dtype=s_p.dtype)
-        band = self.band() if self.materialize else None
+        band, resid, plan, st = self._matvec_operands()
         return _eig_norm_accel(
-            self.g, band, self._resid, *self._plan_dev, s_p, X0,
-            power=int(power), m=int(m), **self._statics())
+            self.g, band, resid, *plan, s_p, X0,
+            power=int(power), m=int(m), **st())
 
     def dual_conv_labels(self, dinv_p, labels, k: int):
         """VolumeMBO dual convolution ``D^{-1} W (D^{-1} W onehot(labels))``
@@ -520,11 +603,11 @@ class AccelSpMM:
         gathers and both SpMMs run in ONE jitted program (per-MBO-iteration
         eager dispatch through the device tunnel would dominate otherwise).
         Returns affinities in original order, shape (n, k)."""
-        band = self.band() if self.materialize else None
+        band, resid, plan, st = self._matvec_operands()
         return _dual_conv_labels_accel(
-            self.g, band, self._resid, *self._plan_dev, dinv_p,
+            self.g, band, resid, *plan, dinv_p,
             jnp.asarray(labels), self._perm_dev, self._inv_dev,
-            k=int(k), **self._statics())
+            k=int(k), **st())
 
     def bellman_ford(self, d0, f, hopf_lax: bool = False,
                      recip: bool = False, max_iter: int = 10**6):
@@ -554,26 +637,26 @@ class AccelSpMM:
         program — the eager per-iteration variant pays ~8 tunnel dispatches
         plus a label round-trip per MBO step.  Labels stay in ORIGINAL node
         order (permutation gathers ride inside the program)."""
-        band = self.band() if self.materialize else None
+        band, resid, plan, st = self._matvec_operands()
         return _volume_mbo_accel(
-            self.g, band, self._resid, *self._plan_dev, dinv_p,
+            self.g, band, resid, *plan, dinv_p,
             jnp.asarray(labels0), self._perm_dev, self._inv_dev,
             fixed_mask, fixed_labels, lower, upper,
             jnp.asarray(temp, dinv_p.dtype), key,
             k=int(k), max_iters=int(max_iters), n_true=int(self.n),
-            **self._statics())
+            **st())
 
     def poisson_mbo(self, deg_p, Db_p, u0, w0, priors, dt, Ns: int, T: int):
         """FULL PoissonMBO outer loop (T x [Ns heat steps + volume
         projection + threshold]) as ONE jitted program (the per-outer
         eager variant pays a (n, k) round-trip + several dispatches per
         round through the tunnel).  ``u0`` in ORIGINAL node order."""
-        band = self.band() if self.materialize else None
+        band, resid, plan, st = self._matvec_operands()
         return _poisson_mbo_accel(
-            self.g, band, self._resid, *self._plan_dev, deg_p, Db_p,
+            self.g, band, resid, *plan, deg_p, Db_p,
             jnp.asarray(u0), jnp.asarray(w0), jnp.asarray(priors),
             jnp.asarray(dt, deg_p.dtype), self._perm_dev, self._inv_dev,
-            Ns=int(Ns), T=int(T), **self._statics())
+            Ns=int(Ns), T=int(T), **st())
 
     def incres(self, dinv_p, u0, key, k: int, T: int, Dm: int, n_true: int):
         """FULL INCRES clustering loop (reference ``clustering.py:282-371``)
@@ -582,12 +665,12 @@ class AccelSpMM:
         planting), grow by random-walk diffusion until every node is
         reached (banded SpMM in a while_loop), harvest by argmax, then
         ``m += Dm``.  Labels stay in ORIGINAL node order."""
-        band = self.band() if self.materialize else None
+        band, resid, plan, st = self._matvec_operands()
         return _incres_accel(
-            self.g, band, self._resid, *self._plan_dev, dinv_p,
+            self.g, band, resid, *plan, dinv_p,
             jnp.asarray(u0, jnp.int32), key, self._perm_dev, self._inv_dev,
             k=int(k), T=int(T), Dm=int(Dm), n_true=int(n_true),
-            **self._statics())
+            **st())
 
     def centered_kernel(self, K_p, mask_p, alpha_factor, tol, key,
                         power_it: int, n_true: int, max_iter: int = 10**5):
@@ -595,25 +678,25 @@ class AccelSpMM:
         the banded SpMM: power iteration for the top centered-kernel
         eigenvalue, then ``u += (A u / alpha - u)`` off the training set,
         all in permuted space (column means over TRUE rows only)."""
-        band = self.band() if self.materialize else None
+        band, resid, plan, st = self._matvec_operands()
         return _centered_kernel_accel(
-            self.g, band, self._resid, *self._plan_dev, K_p, mask_p,
+            self.g, band, resid, *plan, K_p, mask_p,
             (self._perm_dev >= 0),
             jnp.asarray(alpha_factor, K_p.dtype),
             jnp.asarray(tol, K_p.dtype), key,
             power_it=int(power_it), n_true=int(n_true),
-            **self._statics(max_iter=int(max_iter)))
+            **st(max_iter=int(max_iter)))
 
     def poisson_gd(self, deg_p, Db_p, v0_p, min_iter: int, max_iter: int,
                    n_true: int):
         """Poisson-learning gradient descent ``u ← Db + D^{-1} W u`` with
         the random-walk mixing-time stopping rule (reference ssl.py:631-677)
         in permuted space.  Symmetric graphs only (W^T = W)."""
-        band = self.band() if self.materialize else None
+        band, resid, plan, st = self._matvec_operands()
         return _poisson_gd_accel(
-            self.g, band, self._resid, *self._plan_dev, deg_p, Db_p, v0_p,
+            self.g, band, resid, *plan, deg_p, Db_p, v0_p,
             min_iter=int(min_iter), n_true=int(n_true),
-            **self._statics(max_iter=int(max_iter)))
+            **st(max_iter=int(max_iter)))
 
     def lip_iterate_mc(self, u0, bdy_mask, gvals, alpha, beta, tol,
                        max_iter: int):
@@ -737,6 +820,28 @@ def _make_spmm(gp, band, resid, winstart, rrows, rslots, Wwin, R, WT, kcap,
         spmm_band_hybrid, spmm_banded_hybrid, spmm_tiles_hybrid)
 
     if band is not None and isinstance(winstart, (tuple, list)):
+        if band.shape[1] != WT:
+            # packed slabs (round-5): winstart carries (slab_block,
+            # slab_starts_flat, slab_first); the slab width S is encoded
+            # in the band shape
+            from graphlearning_tpu.ops.pallas_spmm import (
+                apply_residual, band_tiles_spmm_packed)
+
+            S = band.shape[1] // WT
+            sb_, sts_, sbf_ = winstart
+
+            def packed_fn(X):
+                d0 = X.shape[1]
+                dp = (-d0) % 128
+                Xp = jnp.pad(X, ((0, 0), (0, dp))) if dp else X
+                Xk = (Xp.astype(jnp.bfloat16) if mode == "bf16" else Xp)
+                out = band_tiles_spmm_packed(
+                    band, sb_, sts_, sbf_, Xk, n=X.shape[0], R=R, WT=WT,
+                    S=S, mode=mode, interpret=interpret)
+                out = apply_residual(out, Xp, resid)
+                return out[:, :d0] if dp else out
+
+            return packed_fn
         # compact tiled band: winstart carries (tile_block, tile_start,
         # block_first)
         return lambda X: spmm_tiles_hybrid(

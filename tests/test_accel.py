@@ -434,3 +434,47 @@ def test_rect_band_gating_band_hostile(monkeypatch):
     u = amle_mc(g, bdy, vals, tol=1e-3, max_num_it=200, weighted=False,
                 accel=acc)
     assert np.all(np.isfinite(u))
+
+
+def test_packed_matvec_plan_activates_and_matches():
+    """Round-5 packed-slab matvec: on a banded materialized graph the
+    packed plan must activate, spmm must match scipy at the exact mode,
+    and the distance-family operands (bellman_ford path) must keep the
+    unpacked tile layout."""
+    import scipy.sparse as sp
+    rs = np.random.RandomState(3)
+    n, k = 4096, 8
+    rows = np.repeat(np.arange(n), k)
+    off = rs.randint(-60, 61, size=n * k)
+    cols = np.clip(rows + off, 0, n - 1)
+    W = sp.coo_matrix((rs.rand(n * k) + 0.1, (rows, cols)),
+                      shape=(n, n)).tocsr()
+    W.setdiag(0)
+    W.eliminate_zeros()
+    W = (W + W.T) / 2
+    acc = AccelSpMM(W, interpret=True, materialize=True)
+    assert acc._packed_meta is not None
+    X = rs.randn(n, 4).astype(np.float32)
+    Y = acc.from_perm(acc.spmm(acc.to_perm(jnp.asarray(X))))
+    ref = W @ X.astype(np.float64)
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(np.asarray(Y) / scale, ref / scale,
+                               atol=5e-5)
+    # packed band really is the slab layout; distance ops keep tiles
+    pk = acc.packed_band()
+    m = acc._packed_meta
+    assert pk.shape[1] == m["S"] * m["WT"]
+    assert acc._plan_dev[0] is acc._tiles or not isinstance(
+        acc._plan_dev[0], tuple) or acc._plan_dev[0][0].shape != m[
+            "slabs"][0].shape
+    # opt-out env restores the unpacked path
+    import os
+    os.environ["GLT_NO_PACKED"] = "1"
+    try:
+        acc2 = AccelSpMM(W, interpret=True, materialize=True)
+        assert acc2._packed_meta is None
+        Y2 = acc2.from_perm(acc2.spmm(acc2.to_perm(jnp.asarray(X))))
+        np.testing.assert_allclose(np.asarray(Y2) / scale, ref / scale,
+                                   atol=5e-5)
+    finally:
+        del os.environ["GLT_NO_PACKED"]
